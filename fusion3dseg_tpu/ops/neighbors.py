@@ -1,0 +1,149 @@
+"""Fixed-radius neighbor graph on TPU (grid-hash, sort + binary search).
+
+Replaces two reference components at once (SURVEY.md §2.20):
+  * the sklearn KDTree radius adjacency built at fusion dump time
+    (reference fusion.py:374-375: tree.query_radius(points, r=2*ds_radius)),
+  * the external C++ `Executables/ConnectedGraph` binary
+    (reference segUtils/planeUtils.py:37-49).
+
+Design: quantize points to grid cells of side `radius`, sort once by linear
+cell key, then every point binary-searches its 27 neighboring cells and
+gathers up to `cap_per_cell` candidates from each — all static shapes, all
+vectorized, chunked over the point axis with lax.map to bound memory. The
+k nearest in-radius candidates per point become a fixed-degree [N, K]
+adjacency (-1 padded), the graph format consumed by
+ops/components.propagate_labels.
+
+A C++ host-side builder with identical output lives in native/ for
+out-of-device-memory scenes; this is the device-resident fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+# 27-cell neighborhood offsets, [27, 3]
+_OFFSETS = jnp.asarray(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    jnp.int32,
+)
+
+
+@partial(jax.jit, static_argnames=("k", "cap_per_cell", "chunk"))
+def radius_graph(
+    points: jax.Array,
+    radius: float | jax.Array,
+    valid: Optional[jax.Array] = None,
+    k: int = 16,
+    cap_per_cell: int = 8,
+    chunk: int = 4096,
+) -> jax.Array:
+    """Build a fixed-degree radius-neighbor adjacency.
+
+    Args:
+      points: [N, 3] float32. N is padded to a multiple of `chunk` internally.
+      radius: neighbor radius (inclusive, like KDTree.query_radius).
+      valid: [N] bool; invalid points get no neighbors and are never returned
+        as neighbors.
+      k: max neighbors kept per point (nearest-first). The point itself is
+        included (distance 0), matching the reference adjacency.
+      cap_per_cell: max candidates considered per neighboring cell.
+      chunk: point-axis tile size for the candidate-gather stage.
+
+    Returns:
+      adj: [N, k] int32 neighbor indices sorted by distance, -1 padded.
+    """
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    points = points.astype(jnp.float32)
+
+    big = jnp.float32(3.0e38)
+    pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    cells = jnp.floor((points - pmin) / radius).astype(jnp.int32)
+    cells = jnp.maximum(cells, 0)
+    cmax = jnp.max(jnp.where(valid[:, None], cells, -1), axis=0)
+    # +2 headroom so a +1 cell offset can never alias the next row
+    ny, nz = cmax[1] + 2, cmax[2] + 2
+
+    def key_of(c):
+        return (c[..., 0] * ny + c[..., 1]) * nz + c[..., 2]
+
+    keys = jnp.where(valid, key_of(cells), INT32_MAX)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    skeys, sidx = jax.lax.sort((keys, ids), num_keys=1)
+    spts = points[sidx]
+    svalid = valid[sidx]
+
+    cap = cap_per_cell
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+
+    pad = (-n) % chunk
+    q_pts = jnp.pad(points, ((0, pad), (0, 0)))
+    q_cells = jnp.pad(cells, ((0, pad), (0, 0)))
+    q_valid = jnp.pad(valid, (0, pad))
+    nchunks = (n + pad) // chunk
+
+    def one_chunk(args):
+        qp, qc, qv = args  # [B,3], [B,3], [B]
+        ncell = qc[:, None, :] + _OFFSETS[None]  # [B, 27, 3]
+        ncell_ok = jnp.all(ncell >= 0, axis=-1)
+        nkey = key_of(ncell)  # [B, 27]
+        starts = jnp.searchsorted(skeys, nkey, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(skeys, nkey, side="right").astype(jnp.int32)
+        pos = starts[..., None] + jnp.arange(cap, dtype=jnp.int32)  # [B,27,cap]
+        in_range = (pos < ends[..., None]) & ncell_ok[..., None]
+        pos = jnp.clip(pos, 0, n - 1)
+        cand_idx = sidx[pos]  # [B,27,cap]
+        cand_pts = spts[pos]
+        d2 = jnp.sum((cand_pts - qp[:, None, None, :]) ** 2, axis=-1)
+        ok = in_range & svalid[pos] & (d2 <= r2) & qv[:, None, None]
+        d2 = jnp.where(ok, d2, big).reshape(qp.shape[0], 27 * cap)
+        flat_idx = cand_idx.reshape(qp.shape[0], 27 * cap)
+        neg, top = jax.lax.top_k(-d2, k)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (qp.shape[0], k), 0)
+        out = jnp.where(neg > -big, flat_idx[rows, top], -1)
+        return out.astype(jnp.int32)
+
+    adj = jax.lax.map(
+        one_chunk,
+        (
+            q_pts.reshape(nchunks, chunk, 3),
+            q_cells.reshape(nchunks, chunk, 3),
+            q_valid.reshape(nchunks, chunk),
+        ),
+    ).reshape(n + pad, k)
+    return adj[:n]
+
+
+def adjacency_to_lists(adj) -> "object":
+    """[N, K] padded adjacency -> numpy object array of index arrays.
+
+    Mirrors the reference artifact format of adj.pkl (fusion.py:374-377):
+    an object ndarray of per-point neighbor-index arrays.
+    """
+    import numpy as np
+
+    adj = np.asarray(adj)
+    out = np.empty(len(adj), dtype=object)
+    for i, row in enumerate(adj):
+        out[i] = row[row >= 0].astype(np.int64)
+    return out
+
+
+def lists_to_adjacency(lists, k: int) -> "object":
+    """Reference-format object-array adjacency -> fixed-degree [N, k] int32."""
+    import numpy as np
+
+    n = len(lists)
+    adj = np.full((n, k), -1, np.int32)
+    for i, row in enumerate(lists):
+        row = np.asarray(list(row), np.int32)[:k]
+        adj[i, : len(row)] = row
+    return adj

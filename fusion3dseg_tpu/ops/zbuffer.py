@@ -1,0 +1,81 @@
+"""Occlusion-aware pixel->point lookup (scatter-min z-buffer).
+
+The reference has no z-buffer: during fusion, whichever point writes a pixel
+last wins arbitrarily (reference fusion.py:296-298), and its
+`points2pixel` (camera_utils.py:9-26) does no occlusion or bounds handling.
+Here pixel->point lookup images (`uv2pt`, the L3->L4 artifact of SURVEY.md §1)
+are produced by a depth-min scatter: nearest-surface point wins, ties broken
+by lowest point index for determinism. The artifact contract is kept:
+[H*W] int32, -1 = unmapped.
+
+Implementation: two segment_min passes over flattened pixel ids — XLA lowers
+these to efficient TPU scatters, and everything fuses with the upstream
+projection matmul under one jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def zbuffer_uv2pt(
+    u: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    point_ids: jax.Array | None = None,
+) -> jax.Array:
+    """Build the uv2pt lookup for one frame with nearest-depth wins.
+
+    Args:
+      u, v: [N] int32 pixel coordinates (may be out of bounds; such points
+        are dropped, unlike the reference whose Python slicing silently clips,
+        fusion.py:274-277).
+      z: [N] camera-frame depth; points with z <= 0 (behind camera) dropped.
+      valid: [N] bool extra validity mask.
+      height, width: image size (static).
+      point_ids: [N] int32 ids written into the lookup; defaults to arange(N).
+
+    Returns:
+      uv2pt: [height*width] int32; -1 where no point maps.
+    """
+    n = u.shape[0]
+    npix = height * width
+    if point_ids is None:
+        point_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    # invalid points land in a trash segment npix
+    pix = jnp.where(ok, v * width + u, npix)
+
+    zmin = jax.ops.segment_min(
+        jnp.where(ok, z, jnp.inf), pix, num_segments=npix + 1
+    )
+    winner = ok & (z <= zmin[pix])
+    idx = jax.ops.segment_min(
+        jnp.where(winner, point_ids, INT32_MAX), pix, num_segments=npix + 1
+    )
+    uv2pt = jnp.where(idx[:npix] == INT32_MAX, -1, idx[:npix]).astype(jnp.int32)
+    return uv2pt
+
+
+def scatter_argmin_by_segment(
+    values: jax.Array, segment_ids: jax.Array, num_segments: int
+) -> jax.Array:
+    """Index of the minimum value per segment; INT32_MAX for empty segments.
+
+    Generic building block behind the z-buffer (exposed for reuse by fusion's
+    candidate-selection step).
+    """
+    vmin = jax.ops.segment_min(values, segment_ids, num_segments=num_segments)
+    n = values.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    winner = values <= vmin[segment_ids]
+    return jax.ops.segment_min(
+        jnp.where(winner, ids, INT32_MAX), segment_ids, num_segments=num_segments
+    )
