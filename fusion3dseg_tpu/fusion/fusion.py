@@ -1,0 +1,398 @@
+"""Multi-view point-cloud fusion engine (COLMAP-style, TPU-native).
+
+Capability parity with reference Fusion3DSeg/fusion.py (class Fusion,
+:80-407): incrementally fuse per-frame RGB-D point clouds into one sparse
+world cloud under a distance + normal-cone merge criterion, maintaining
+nmerges / occurences counters and per-frame pixel->sparse-point `uv2pt`
+lookups (the artifact consumed by voting, SURVEY.md §1).
+
+Re-design (SURVEY.md §7.1-7.2). The reference's fuse loop is three nested
+Python loops (per frame / per projected sparse point / per patch pixel,
+fusion.py:212-324) with np.random.shuffle visit order. Here one frame step is
+a single fused XLA program and the session is a lax.scan over frames:
+
+  1. frustum + far-plane culling of the sparse buffer — one [N,5] half-space
+     einsum (reference fusion.py:254-260);
+  2. sparse -> pixel projection — one [N,3]x[3,3] matmul (camera.py);
+  3. candidate assignment — sparse points z-buffered into a coarse pixel-cell
+     grid; every dense pixel gathers the 3x3 neighboring cells' candidates
+     and merges with the nearest one passing dist<radius & cos>min_cosine
+     (the reference's criterion, fusion.py:165-170, evaluated for all pixels
+     at once instead of greedy patch order);
+  4. merge — segment-sum means into the sparse buffer: running mean of
+     position/color/normal, nmerges += matches, occurences += 1 for touched
+     slots (reference fusion.py:288-298 semantics);
+  5. leftovers — unmatched pixels patch-sparsified at 2x stride
+     (ops/sparsify.py) and appended by prefix-sum compaction into the
+     fixed-capacity buffer.
+
+The sparse cloud lives in a static-capacity padded buffer (XLA static
+shapes); `n` tracks the live prefix. Determinism: no shuffle — parity with
+the reference is statistical (>=99.9% label agreement after voting), per
+SURVEY.md §7 hard part (a).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion3dseg_tpu.geometry import camera, intersections
+from fusion3dseg_tpu.ops import sparsify, zbuffer
+from fusion3dseg_tpu.ops.zbuffer import INT32_MAX
+
+
+class FusionState(NamedTuple):
+    points: jax.Array  # [CAP, 3]
+    normals: jax.Array  # [CAP, 3]
+    colors: jax.Array  # [CAP, 3]
+    nmerges: jax.Array  # [CAP] int32
+    occurences: jax.Array  # [CAP] int32
+    n: jax.Array  # scalar int32 — live prefix length
+
+
+def _empty_state(capacity: int) -> FusionState:
+    z3 = jnp.zeros((capacity, 3), jnp.float32)
+    zi = jnp.zeros((capacity,), jnp.int32)
+    return FusionState(z3, z3, z3, zi, zi, jnp.int32(0))
+
+
+def _append_sparsified(
+    state: FusionState, sp: sparsify.SparsifyResult, capacity: int
+) -> Tuple[FusionState, jax.Array]:
+    """Append occupied sparsify cells to the buffer; returns (state, cell->slot map)."""
+    dest_rank, total_new = sparsify.compact_slots(sp.counts)
+    occupied = sp.counts > 0
+    dest = jnp.where(occupied, state.n + dest_rank, capacity)  # capacity = dropped
+    fits = dest < capacity
+    write = occupied & fits
+    dest = jnp.where(write, dest, capacity)
+
+    points = state.points.at[dest].set(sp.points, mode="drop")
+    normals = state.normals.at[dest].set(sp.normals, mode="drop")
+    colors = state.colors.at[dest].set(sp.colors, mode="drop")
+    nmerges = state.nmerges.at[dest].set(sp.counts, mode="drop")
+    occ = state.occurences.at[dest].set(jnp.ones_like(sp.counts), mode="drop")
+    n = jnp.minimum(state.n + total_new, capacity)
+
+    cell2slot = jnp.where(write, dest, -1).astype(jnp.int32)
+    return FusionState(points, normals, colors, nmerges, occ, n), cell2slot
+
+
+def _seed_frame(
+    state: FusionState,
+    fpts, fnrm, fclr, fdepth, fvalid,
+    *, height, width, stride, radius, min_cosine, max_depth, capacity,
+) -> Tuple[FusionState, jax.Array]:
+    """First frame: sparsify at `stride` (reference fusion.py:239-245)."""
+    sp = sparsify.patch_sparsify(
+        fpts, fnrm, fclr, fdepth, fvalid,
+        height, width, stride, radius, min_cosine, max_depth,
+    )
+    state, cell2slot = _append_sparsified(state, sp, capacity)
+    uv2pt = jnp.where(
+        sp.cell_of_pixel >= 0,
+        cell2slot[jnp.clip(sp.cell_of_pixel, 0, sp.num_cells - 1)],
+        -1,
+    ).astype(jnp.int32)
+    return state, uv2pt
+
+
+def _fuse_frame(
+    state: FusionState,
+    q, t, fpts, fnrm, fclr, fdepth, fvalid,
+    *, Ks, height, width, stride, radius, min_cosine, max_depth, capacity,
+) -> Tuple[FusionState, jax.Array]:
+    """One fusion step: merge a new frame into the sparse buffer."""
+    P = height * width
+    half = max(1, stride // 2)  # candidate-grid cell size in pixels
+    gh = -(-height // half)
+    gw = -(-width // half)
+    ncells = gh * gw
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    active = slot_ids < state.n
+
+    # 1. frustum + far-plane culling of the sparse cloud
+    plane_pts, plane_ns = camera.frustum_world_planes(
+        Ks, width, height, q, t, max_depth
+    )
+    inter = intersections.points_inside_polyhedra(state.points, plane_pts, plane_ns)
+    inter = inter & active
+
+    # 2. project culled sparse points into this frame
+    u, v, z = camera.project_points(state.points, Ks, q, t)
+    ok = inter & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+
+    # 3a. z-buffer sparse points into the coarse candidate grid
+    cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
+    winner = zbuffer.scatter_argmin_by_segment(
+        jnp.where(ok, z, jnp.inf), cell, ncells + 1
+    )
+    cand_of_cell = jnp.where(winner[:ncells] == INT32_MAX, -1, winner[:ncells])
+
+    # 3b. every dense pixel gathers candidates from its 3x3 cell neighborhood
+    pu = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
+    pv = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).reshape(-1)
+    cu, cv = pu // half, pv // half
+    offs = jnp.asarray(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32
+    )  # [9, 2]
+    ncv = cv[:, None] + offs[None, :, 0]
+    ncu = cu[:, None] + offs[None, :, 1]
+    nok = (ncv >= 0) & (ncv < gh) & (ncu >= 0) & (ncu < gw)
+    ncell = jnp.where(nok, ncv * gw + ncu, 0)
+    cand = jnp.where(nok, cand_of_cell[ncell], -1)  # [P, 9] sparse slots
+
+    cmask = cand >= 0
+    cand_safe = jnp.where(cmask, cand, 0)
+    cpts = state.points[cand_safe]  # [P, 9, 3]
+    cnrm = state.normals[cand_safe]
+    dist = jnp.linalg.norm(fpts[:, None, :] - cpts, axis=-1)
+    cosn = jnp.sum(fnrm[:, None, :] * cnrm, axis=-1)
+    passes = cmask & (dist < radius) & (cosn > min_cosine) & fvalid[:, None]
+    dist = jnp.where(passes, dist, jnp.inf)
+    best = jnp.argmin(dist, axis=-1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+    matched = jnp.any(passes, axis=-1)
+    match = jnp.where(matched, cand[rows, best], -1)  # [P] sparse slot or -1
+
+    # 4. merge matched dense pixels into their sparse slots (running mean of
+    #    this frame's matches + the current sparse value, fusion.py:288-295)
+    mseg = jnp.where(matched, match, capacity)
+    mw = matched.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(mw, mseg, num_segments=capacity + 1)[:capacity]
+    spt = jax.ops.segment_sum(fpts * mw[:, None], mseg, num_segments=capacity + 1)[:capacity]
+    scl = jax.ops.segment_sum(fclr * mw[:, None], mseg, num_segments=capacity + 1)[:capacity]
+    snr = jax.ops.segment_sum(fnrm * mw[:, None], mseg, num_segments=capacity + 1)[:capacity]
+
+    touched = cnt > 0
+    denom = (cnt + 1.0)[:, None]
+    new_pts = jnp.where(touched[:, None], (spt + state.points) / denom, state.points)
+    new_clr = jnp.where(touched[:, None], (scl + state.colors) / denom, state.colors)
+    nsum = snr + state.normals
+    nnrm = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
+    new_nrm = jnp.where(touched[:, None], nnrm, state.normals)
+    new_nm = state.nmerges + cnt.astype(jnp.int32)
+    new_occ = state.occurences + touched.astype(jnp.int32)
+    state = FusionState(new_pts, new_nrm, new_clr, new_nm, new_occ, state.n)
+
+    # 5. leftover pixels -> sparsify at 2x stride and append (fusion.py:306-320)
+    leftover = fvalid & jnp.logical_not(matched)
+    sp = sparsify.patch_sparsify(
+        fpts, fnrm, fclr, fdepth, leftover,
+        height, width, 2 * stride, radius, min_cosine, max_depth,
+    )
+    state, cell2slot = _append_sparsified(state, sp, capacity)
+
+    uv2pt = jnp.where(matched, match, -1)
+    lp = sp.cell_of_pixel
+    uv2pt = jnp.where(
+        jnp.logical_not(matched) & (lp >= 0),
+        cell2slot[jnp.clip(lp, 0, sp.num_cells - 1)],
+        uv2pt,
+    ).astype(jnp.int32)
+    return state, uv2pt
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "stride", "radius", "min_cosine", "max_depth", "capacity",
+    ),
+)
+def fuse_session(
+    Ks: jax.Array,  # [3,3] depth-scaled intrinsics
+    quats_wxyz: jax.Array,  # [F,4]
+    translations: jax.Array,  # [F,3]
+    points: jax.Array,  # [F, H*W, 3] world points
+    normals: jax.Array,  # [F, H*W, 3]
+    colors: jax.Array,  # [F, H*W, 3]
+    depth: jax.Array,  # [F, H*W] camera depth (m)
+    valid: jax.Array,  # [F, H*W] bool
+    *,
+    height: int,
+    width: int,
+    stride: int,
+    radius: float,
+    min_cosine: float,
+    max_depth: float,
+    capacity: int,
+) -> Tuple[FusionState, jax.Array]:
+    """Fuse a whole session in one compiled program.
+
+    Frame 0 seeds the buffer (sparsify at `stride`); frames 1..F-1 run the
+    merge step under lax.scan. Returns (final state, uv2pt [F, H*W] int32).
+
+    Caller contract: frame 0 should have at least one valid point (the
+    reference scans forward for the first such frame, fusion.py:236-238 —
+    do that on the host before calling).
+    """
+    state = _empty_state(capacity)
+    kw = dict(
+        height=height, width=width, stride=stride, radius=radius,
+        min_cosine=min_cosine, max_depth=max_depth, capacity=capacity,
+    )
+    state, uv2pt0 = _seed_frame(
+        state, points[0], normals[0], colors[0], depth[0], valid[0], **kw
+    )
+
+    def step(state, frame):
+        q, t, fp, fn, fc, fd, fv = frame
+        state, uv2pt = _fuse_frame(state, q, t, fp, fn, fc, fd, fv, Ks=Ks, **kw)
+        return state, uv2pt
+
+    state, uv2pt_rest = jax.lax.scan(
+        step,
+        state,
+        (
+            quats_wxyz[1:], translations[1:], points[1:], normals[1:],
+            colors[1:], depth[1:], valid[1:],
+        ),
+    )
+    uv2pt = jnp.concatenate([uv2pt0[None], uv2pt_rest], axis=0)
+    return state, uv2pt
+
+
+@dataclasses.dataclass
+class Fusion:
+    """Session-level fusion driver with the reference's public surface
+    (fusion.py:80-407): fuse / filter / dump_data / load_data, plus the
+    uv2pt artifact directory."""
+
+    session: "object"  # fusion3dseg_tpu.io.rtab.SessionData
+    point_range: Optional[Tuple[float, float]] = None
+    decimation: int = 1
+    capacity: int = 1 << 20
+    save_lookups: bool = True
+    out_dir: Optional[str] = None
+
+    ds_radius: Optional[float] = None
+    ds_angle: Optional[float] = None
+
+    @property
+    def nframes(self) -> int:
+        return self.session.nframes
+
+    @property
+    def npts(self) -> int:
+        h, w = self.session.depth_hw
+        return h * w
+
+    def _valid_mask(self) -> np.ndarray:
+        """Depth-range + decimation validity (reference fusion.py:39-47)."""
+        depth = self.session.depth  # [F, H*W]
+        h, w = self.session.depth_hw
+        if self.point_range is not None:
+            lo, hi = self.point_range
+            valid = (depth > lo) & (depth <= hi)
+        else:
+            valid = np.ones_like(depth, bool)
+        if self.decimation > 1:
+            keep = np.zeros((h, w), bool)
+            keep[:: self.decimation, :: self.decimation] = True
+            valid = valid & keep.reshape(1, -1)
+        return valid
+
+    def fuse(
+        self,
+        radius: float = 0.05,
+        angle: float = 10.0,
+        stride: Optional[int] = None,
+        max_depth: float = 10.0,
+        skip: int = 1,
+        verbose: bool = False,
+    ):
+        """Run session fusion; returns (points, normals, colors, nmerges,
+        occurences) numpy arrays of the live prefix — the reference's fuse
+        return contract (fusion.py:324)."""
+        self.ds_radius, self.ds_angle = radius, angle
+        stride = max(10, int(radius * 200)) if stride is None else stride
+        min_cosine = float(np.cos(np.deg2rad(angle)))
+        h, w = self.session.depth_hw
+
+        valid = self._valid_mask()
+        # start at the first frame with any valid point (fusion.py:236-238)
+        start = int(np.argmax(valid.any(axis=1)))
+        sel = np.r_[start, np.arange(start + 1, self.nframes, skip)]
+
+        s = self.session
+        state, uv2pt = fuse_session(
+            jnp.asarray(s.Ks, jnp.float32),
+            jnp.asarray(s.quats_wxyz[sel]),
+            jnp.asarray(s.translations[sel]),
+            jnp.asarray(s.points[sel]),
+            jnp.asarray(s.normals[sel]),
+            jnp.asarray(s.colors[sel]),
+            jnp.asarray(s.depth[sel]),
+            jnp.asarray(valid[sel]),
+            height=h, width=w, stride=int(stride), radius=float(radius),
+            min_cosine=min_cosine, max_depth=float(max_depth),
+            capacity=self.capacity,
+        )
+        n = int(state.n)
+        if verbose:
+            print(f"fused {len(sel)} frames into {n} sparse points")
+
+        if self.save_lookups and self.out_dir is not None:
+            from fusion3dseg_tpu.io import artifacts
+
+            names = [str(s.frame_numbers[i]) for i in sel]
+            artifacts.save_uv2pt_batch(self.out_dir, names, uv2pt)
+
+        self._last_uv2pt = np.asarray(uv2pt)
+        self._last_frames = sel
+        return (
+            np.asarray(state.points[:n]),
+            np.asarray(state.normals[:n]),
+            np.asarray(state.colors[:n]),
+            np.asarray(state.nmerges[:n]),
+            np.asarray(state.occurences[:n]).astype(np.uint32),
+        )
+
+    @staticmethod
+    def filter(values, threshold, data=None, less_than=False):
+        """Threshold mask util (reference fusion.py:329-347)."""
+        values = np.asarray(values)
+        mask = values <= threshold if less_than else values >= threshold
+        if data is None:
+            return mask, None
+        return mask, [np.asarray(d)[mask] for d in data]
+
+    def dump_data(
+        self, dirname, points,
+        normals=None, colors=None, nmerges=None, occurences=None,
+        compute_adjacency=True, verbose=False,
+        adjacency_degree: int = 16,
+    ):
+        """Write fusion artifacts (+ radius adjacency at 2*ds_radius,
+        reference fusion.py:349-387)."""
+        from fusion3dseg_tpu.io import artifacts
+        from fusion3dseg_tpu.ops import neighbors
+
+        adj = None
+        if compute_adjacency and self.ds_radius is not None and len(points):
+            adj_fixed = np.asarray(
+                neighbors.radius_graph(
+                    jnp.asarray(points, jnp.float32), 2 * self.ds_radius,
+                    k=adjacency_degree,
+                )
+            )
+            adj = neighbors.adjacency_to_lists(adj_fixed)
+        h, w = self.session.depth_hw
+        artifacts.dump_fusion_data(
+            dirname, points, normals, colors, nmerges, occurences,
+            nframes=self.nframes, depth_hw=(h, w), adjacency=adj,
+            ds_radius=self.ds_radius, ds_angle=self.ds_angle,
+        )
+
+    @classmethod
+    def load_data(cls, dirname):
+        from fusion3dseg_tpu.io import artifacts
+
+        return artifacts.load_fusion_data(dirname)

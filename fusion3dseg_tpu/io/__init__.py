@@ -1,0 +1,1 @@
+from fusion3dseg_tpu.io import artifacts, ply, rtab, synthetic  # noqa: F401

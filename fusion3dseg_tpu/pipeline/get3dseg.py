@@ -1,0 +1,380 @@
+"""3D segmentation orchestrator — reference get3DSeg.py parity.
+
+Public surface kept identical: segment(dirname, mask_dir, threshold,
+nclasses, filter_classes, min_pts_per_inst), remove_classes(dirname,
+mask_dir, keep_classes, threshold), semantic_viz, panoptic_viz,
+load_semantic_segmentation, load_csv, master_classes — writing the same
+artifact tree (SURVEY.md §1): segmentation/{votes.npy, classes.npy,
+info.json, pcd.ply}, panoptic_segmentation/{ids.npy, info.json, pcd.ply},
+segmentation/final_pcd.ply, panoptic_segmentation/final_info.json.
+
+Compute re-design: mask reads + nearest resize are host-side; voting,
+thresholded classification and the instance split's label propagation run as
+jitted array programs (ops/voting.py, ops/components.py); per-instance OBBs
+in master_classes come from the batched PCA kernel (ops/obb.py) instead of
+per-instance open3d objects (reference get3DSeg.py:424-448).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from fusion3dseg_tpu.io import artifacts, ply
+from fusion3dseg_tpu.ops import components, neighbors, obb as obb_ops, voting
+from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
+from fusion3dseg_tpu.utils import palette as pal
+from fusion3dseg_tpu.utils import taxonomy as tax
+from fusion3dseg_tpu.utils import timing
+
+
+def _read_masks_resized(mask_files, hw, resize=True) -> np.ndarray:
+    """Host-side mask ingestion: grayscale read + nearest resize to depth
+    resolution (reference voting.py:92-94)."""
+    import cv2
+
+    h, w = hw
+    out = np.zeros((len(mask_files), h * w), np.uint8)
+    for i, f in enumerate(mask_files):
+        m = cv2.imread(str(f), 0)
+        if resize and m.shape != (h, w):
+            m = cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST)
+        out[i] = m.reshape(-1)
+    return out
+
+
+def vote_session(
+    dirname,
+    mask_dir,
+    npts: int,
+    depth_hw,
+    nclasses: int = 133,
+    votes_file=None,
+    dedup: bool = True,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Vote all frames (VotingSegmentation.vote parity, voting.py:75-104).
+
+    votes_file: optional precomputed votes .npy warm start (voting.py:30-40).
+    """
+    if votes_file is not None and Path(votes_file).is_file():
+        return np.load(votes_file)
+    mask_files, uv2pt_files = artifacts.matched_mask_uv2pt_files(
+        mask_dir, Path(dirname) / "fusion" / "uv2pt"
+    )
+    if verbose:
+        print(f"voting over {len(mask_files)} frames ...")
+    masks = _read_masks_resized(mask_files, depth_hw)
+    uv2pt = np.stack([np.load(f) for f in uv2pt_files]).astype(np.int32)
+    votes = voting.vote_all_frames(
+        jnp.asarray(uv2pt), jnp.asarray(masks), npts, nclasses, dedup=dedup
+    )
+    return np.asarray(votes)
+
+
+def segment(
+    dirname,
+    mask_dir,
+    threshold: float = 0.5,
+    nclasses: int = 133,
+    filter_classes: Optional[Sequence[int]] = (86, 114, 115),
+    min_pts_per_inst: int = 100,
+    verbose: bool = True,
+    taxonomy: Optional[tax.Taxonomy] = None,
+    dedup: bool = True,
+):
+    """Semantic + panoptic segmentation of the fused cloud (get3DSeg.py:18-116).
+
+    Writes segmentation/ and panoptic_segmentation/ artifact trees, then
+    runs master_classes (parent taxonomy + OBBs + bbox merge).
+    """
+    dirname = Path(dirname)
+    from fusion3dseg_tpu.fusion import Fusion
+
+    points, norms, colors, nmerges, occurences, nframes, depth_hw, adj = Fusion.load_data(dirname)
+    npts = len(points)
+
+    with timing.span("segmentation.vote", verbose=verbose):
+        votes = vote_session(
+            dirname, mask_dir, npts, depth_hw, nclasses, dedup=dedup, verbose=verbose
+        )
+        (dirname / "segmentation").mkdir(parents=True, exist_ok=True)
+        np.save(dirname / "segmentation" / "votes.npy", votes)
+        classes = np.asarray(
+            voting.classify(
+                jnp.asarray(votes), threshold, nclasses,
+                tuple(filter_classes) if filter_classes is not None else None,
+            )
+        )
+
+    if adj is not None:
+        with timing.span("segmentation.instances", verbose=verbose):
+            adj_fixed = neighbors.lists_to_adjacency(adj, k=16)
+            insts, ids, pan_info, pan_classes = components.split_into_instances(
+                classes, adj_fixed, nclasses, filter_classes, min_pts_per_inst
+            )
+    else:
+        print("No adjacency list available, hence skipping instance seperation.")
+
+    sem_colors, sem_palette, sem_info = semantic_viz(
+        points, classes, nclasses, votes=None, outdir=dirname / "segmentation"
+    )
+
+    if adj is None:
+        return votes, classes
+
+    pan_colors, pan_palette, pan_info = panoptic_viz(
+        points, ids, pan_info, dirname / "panoptic_segmentation", alpha=1.0
+    )
+
+    master_classes(dirname, taxonomy=taxonomy)
+    return votes, classes
+
+
+def remove_classes(
+    dirname,
+    mask_dir,
+    keep_classes: Optional[Sequence[int]] = None,
+    threshold: float = 0.75,
+    nclasses: int = 133,
+    verbose: bool = True,
+    taxonomy: Optional[tax.Taxonomy] = None,
+):
+    """Keep-class filtering (get3DSeg.py:118-221): classify every point
+    (warm-starting from segmentation/votes.npy when present), drop points of
+    removable classes + unclassified, write remaining_mask.npy,
+    remaining.ply (red=remaining / blue=removed), cleaned.ply and
+    removed_objects_info/.
+
+    Returns remaining_mask [N] bool.
+    """
+    dirname = Path(dirname)
+    taxonomy = taxonomy or tax.Taxonomy()
+    # the reference overrides the passed keep_classes with classes.csv's
+    # building classes (get3DSeg.py:143-144); honor an explicit argument,
+    # fall back to the taxonomy.
+    if keep_classes is None:
+        keep_classes = taxonomy.building_classes
+
+    from fusion3dseg_tpu.fusion import Fusion
+
+    points, norms, colors, nmerges, occurences, nframes, depth_hw, adj = Fusion.load_data(dirname)
+    colors = np.array(colors) if colors is not None else np.zeros_like(points)
+    colors_org = colors.copy()
+    npts = len(points)
+
+    votes_file = dirname / "segmentation" / "votes.npy"
+    with timing.span("remove_classes.vote", verbose=verbose):
+        votes = vote_session(
+            dirname, mask_dir, npts, depth_hw, nclasses,
+            votes_file=votes_file if votes_file.is_file() else None,
+            verbose=verbose,
+        )
+        if not votes_file.is_file():
+            votes_file.parent.mkdir(parents=True, exist_ok=True)
+            np.save(votes_file, votes)
+        classes = np.asarray(voting.classify(jnp.asarray(votes), threshold, nclasses, None))
+
+    remove = np.setdiff1d(np.arange(nclasses), np.asarray(list(keep_classes)))
+    remove = np.append(remove, [nclasses, nclasses + 1])  # unclassified ids
+    remaining_mask = ~np.isin(classes, remove)
+
+    (dirname / "segmentation").mkdir(parents=True, exist_ok=True)
+    np.save(dirname / "segmentation" / "remaining_mask.npy", remaining_mask)
+
+    viz_colors = colors.copy()
+    viz_colors[remaining_mask] = [1, 0, 0]
+    viz_colors[~remaining_mask] = [0, 0, 1]
+    ply.write_point_cloud(dirname / "segmentation" / "remaining.ply", points, colors=viz_colors)
+    ply.write_point_cloud(
+        dirname / "segmentation" / "cleaned.ply",
+        points[remaining_mask],
+        colors=colors_org[remaining_mask],
+        normals=None if norms is None else np.asarray(norms)[remaining_mask],
+    )
+
+    removed_point_classes = classes.copy()
+    removed_point_classes[remaining_mask] = nclasses
+    removed_point_classes[removed_point_classes == nclasses + 1] = nclasses
+    semantic_viz(
+        points, removed_point_classes, nclasses, votes=None,
+        outdir=dirname / "segmentation" / "removed_objects_info",
+    )
+    return remaining_mask
+
+
+def semantic_viz(points, classes, nclasses, votes=None, coco_data=None, outdir="./"):
+    """Semantic artifact dump (get3DSeg.py:224-286): classes.npy, optional
+    votes.npy, class-colored pcd.ply, info.json with css hex colors."""
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    if votes is not None:
+        np.save(outdir / "votes.npy", votes)
+    np.save(outdir / "classes.npy", classes)
+
+    class_names = tax.stuff_classes_with_unclassified(coco_data, nclasses)
+    palette = pal.random_palette(nclasses, seed=0, append_black=True)
+
+    present = np.unique(classes)
+    colors = np.zeros((len(points), 3))
+    classwise_pts = []
+    for cls_ in present:
+        mask = classes == cls_
+        colors[mask] = palette[cls_]
+        classwise_pts.append(int(mask.sum()))
+
+    ply.write_point_cloud(outdir / "pcd.ply", points, colors=colors)
+
+    pal255 = (palette * 255).astype(int)
+    info = [
+        {
+            "category_id": int(c),
+            "name": class_names[c] if c < len(class_names) else str(c),
+            "area": area,
+            "hexcolor": pal.to_css_hex(pal255[c]),
+        }
+        for c, area in zip(present, classwise_pts)
+    ]
+    artifacts.write_info_json(outdir / "info.json", info)
+    return colors, [pal.to_css_hex(pal255[c]) for c in present], info
+
+
+def panoptic_viz(points, ids, idinfo, outdir, coco_data=None, colors=None, alpha=1.0):
+    """Panoptic artifact dump (get3DSeg.py:289-347): ids.npy, per-id colored
+    pcd.ply with alpha blend, info.json with name/hexcolor attached."""
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    np.save(outdir / "ids.npy", ids)
+
+    classnames = None
+    nclasses_guess = max((i["category_id"] for i in idinfo), default=0)
+    classnames = tax.stuff_classes_with_unclassified(coco_data, 133 if nclasses_guess <= 133 else nclasses_guess)
+
+    allids = np.unique(ids)
+    byid = {i["id"]: i for i in idinfo}
+    idinfo = [byid[i] for i in allids if i in byid]
+
+    if colors is None:
+        colors = np.zeros((len(points), 3))
+    palette = pal.random_palette(len(allids), seed=1)
+    for id_, info, clr in zip(allids, idinfo, palette):
+        info["hexcolor"] = pal.to_css_hex((clr * 255).astype(int))
+        cid = info["category_id"]
+        info["name"] = classnames[cid] if cid < len(classnames) else str(cid)
+        mask = ids == id_
+        colors[mask] = (1 - alpha) * colors[mask] + alpha * clr
+
+    artifacts.write_info_json(outdir / "info.json", idinfo)
+    ply.write_point_cloud(outdir / "pcd.ply", points, colors=colors)
+    return colors, palette, idinfo
+
+
+def load_semantic_segmentation(semantic_dir):
+    """(get3DSeg.py:350-355 contract)."""
+    semantic_dir = Path(semantic_dir)
+    votes = np.load(semantic_dir / "votes.npy")
+    classes = np.load(semantic_dir / "classes.npy")
+    info = artifacts.read_info_json(semantic_dir / "info.json")
+    return votes, classes, classes, np.unique(classes), info
+
+
+def load_csv(data_path):
+    """Reference load_csv contract (get3DSeg.py:357-367)."""
+    return tax.Taxonomy.from_csv(data_path).as_load_csv_tuple()
+
+
+def master_classes(dirname, taxonomy: Optional[tax.Taxonomy] = None, verbose: bool = False):
+    """Attach parent taxonomy + oriented bounding boxes, repaint by parent
+    class, and merge intersecting same-parent boxes (get3DSeg.py:369-475).
+
+    Artifact outputs: updated segmentation/info.json and
+    panoptic_segmentation/info.json (parent_id/parent_name/parent_hexcolor/
+    bbox per entry), segmentation/final_pcd.ply repainted by parent class,
+    then merge_bb writes panoptic_segmentation/{final_info.json, ids.npy}.
+    """
+    dirname = Path(dirname)
+    taxonomy = taxonomy or tax.Taxonomy()
+    class_id, parent_name, parent_id, flag_infojson, _ = taxonomy.as_load_csv_tuple()
+
+    points, _, _ = ply.read_point_cloud(dirname / "panoptic_segmentation" / "pcd.ply")
+    ids = np.load(dirname / "panoptic_segmentation" / "ids.npy")
+    classes = np.load(dirname / "segmentation" / "classes.npy")
+    parent_classes = classes.copy()
+    info_pan = artifacts.read_info_json(dirname / "panoptic_segmentation" / "info.json")
+    info_sem = artifacts.read_info_json(dirname / "segmentation" / "info.json")
+    meta = taxonomy.classes_meta()
+    palette = np.asarray(meta["colors"], np.float64) / 255.0
+
+    # batched OBBs for every instance id at once (replaces the per-instance
+    # open3d loop, get3DSeg.py:424-448)
+    num_inst = int(ids.max()) + 1 if len(ids) else 0
+    with timing.span("master_classes.obbs", verbose=verbose):
+        centers, axes, half, counts = obb_ops.instance_obbs(
+            jnp.asarray(points, jnp.float32), jnp.asarray(ids, jnp.int32), num_inst
+        )
+        corners = np.asarray(obb_ops.obb_corners(centers, axes, half))
+        counts = np.asarray(counts)
+
+    final_info = []
+    area_unclassified = 0
+    unclassified_final_idx = None
+    cid_index = {c: i for i, c in enumerate(class_id)}
+    for info in info_pan:
+        cat = info["category_id"]
+        if cat in cid_index:
+            k = cid_index[cat]
+            info["parent_id"] = int(parent_id[k])
+            info["parent_name"] = parent_name[k]
+            info["parent_hexcolor"] = pal.to_css_hex(
+                (palette[int(parent_id[k])] * 255).astype(int)
+            )
+            if cat == len(class_id):  # never true: kept for structure parity
+                info["bbox"] = None
+            elif cat == 133 or counts[info["id"]] < 4:
+                info["bbox"] = None
+            else:
+                info["bbox"] = corners[info["id"]].tolist()
+            if flag_infojson[k]:
+                if cat == 133:
+                    unclassified_final_idx = len(final_info)
+                final_info.append(info)
+        else:
+            mask = ids == info["id"]
+            area_unclassified += int(np.count_nonzero(mask))
+            info["parent_id"] = None
+            info["parent_name"] = None
+            info["parent_hexcolor"] = None
+            info["bbox"] = None
+    # the "unclassified" instance absorbs out-of-taxonomy areas
+    # (get3DSeg.py:449-450)
+    if unclassified_final_idx is not None:
+        final_info[unclassified_final_idx]["area"] += area_unclassified
+
+    for info in info_sem:
+        cat = info["category_id"]
+        mask = classes == cat
+        if cat in cid_index:
+            k = cid_index[cat]
+            info["parent_id"] = int(parent_id[k])
+            info["parent_name"] = parent_name[k]
+            info["parent_hexcolor"] = pal.to_css_hex(
+                (palette[int(parent_id[k])] * 255).astype(int)
+            )
+            parent_classes[mask] = int(parent_id[k])
+        else:
+            parent_classes[mask] = taxonomy.parent_classes.index("unclassified")
+
+    # repaint by parent class -> final_pcd.ply (get3DSeg.py:452-466)
+    colors = np.zeros((len(points), 3))
+    for cls_ in np.unique(parent_classes):
+        colors[parent_classes == cls_] = palette[int(cls_)]
+    ply.write_point_cloud(dirname / "segmentation" / "final_pcd.ply", points, colors=colors)
+
+    artifacts.write_info_json(dirname / "segmentation" / "info.json", info_sem)
+    artifacts.write_info_json(dirname / "panoptic_segmentation" / "info.json", info_pan)
+
+    merge_bb(dirname, final_info, ids, points)

@@ -1,0 +1,184 @@
+"""End-to-end pipeline tests on a synthetic session (SURVEY.md §4 golden tests)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fusion3dseg_tpu.io import synthetic, rtab, artifacts, ply
+from fusion3dseg_tpu.pipeline import process3d, get3dseg
+
+
+@pytest.fixture(scope="module")
+def session_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("session")
+    sess = synthetic.make_session(nframes=16, depth_hw=(64, 48))
+    synthetic.write_session_dir(sess, out)
+    return out, sess
+
+
+class TestSyntheticSession:
+    def test_session_roundtrip(self, session_dir):
+        out, sess = session_dir
+        sd = rtab.SessionData.from_export_dir(out)
+        assert sd.nframes == sess.nframes
+        assert sd.depth_hw == (64, 48)
+        # depth written as mm png survives the roundtrip
+        np.testing.assert_allclose(
+            sd.depth[0], sess.depth[0].reshape(-1), atol=2e-3
+        )
+        # back-projected floor points are at y≈0 in world frame
+        floor = sess.gt_mask[0].reshape(-1) == synthetic.FLOOR_CLASS
+        if floor.any():
+            assert np.abs(sd.points[0][floor][:, 1]).max() < 0.1
+
+    def test_cache_roundtrip(self, session_dir, tmp_path):
+        out, sess = session_dir
+        sd = rtab.SessionData.from_export_dir(out)
+        sub = sd.write_cache(tmp_path)
+        sd2 = rtab.SessionData.from_cache(
+            tmp_path / "PointcloudMergeResults" / f"tofsegment_{sub}.pkl",
+            tmp_path / "PointcloudMergeResults" / f"rtscameradata_{sub}.pkl",
+        )
+        np.testing.assert_allclose(sd2.points, sd.points, atol=1e-4)
+        np.testing.assert_allclose(sd2.depth, sd.depth, atol=1e-4)
+        assert sd2.depth_hw == sd.depth_hw
+
+
+class TestPly:
+    def test_pointcloud_roundtrip(self, tmp_path, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        clr = rng.random((100, 3)).astype(np.float32)
+        nrm = rng.normal(size=(100, 3)).astype(np.float32)
+        ply.write_point_cloud(tmp_path / "a.ply", pts, colors=clr, normals=nrm)
+        p2, c2, n2 = ply.read_point_cloud(tmp_path / "a.ply")
+        np.testing.assert_allclose(p2, pts, atol=1e-6)
+        np.testing.assert_allclose(c2, clr, atol=1 / 255.0)
+        np.testing.assert_allclose(n2, nrm, atol=1e-6)
+
+    def test_mesh_roundtrip(self, tmp_path):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+        tris = np.array([[0, 1, 2], [2, 1, 3]], np.int32)
+        cols = np.array([[255, 0, 0]] * 4, np.uint8)
+        ply.write_mesh(tmp_path / "m.ply", verts, tris, cols)
+        v2, t2, c2 = ply.read_mesh(tmp_path / "m.ply")
+        np.testing.assert_allclose(v2, verts)
+        np.testing.assert_array_equal(t2, tris)
+        np.testing.assert_array_equal(c2, cols)
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def fused(self, session_dir, tmp_path_factory):
+        out, sess = session_dir
+        work = tmp_path_factory.mktemp("work")
+        sd = rtab.SessionData.from_export_dir(out)
+        result = process3d.process3DSeg(
+            out, work,
+            radius=0.08, angle=20, stride=6,
+            point_range=(0.1, 8.0), min_occ=3,
+            capacity=1 << 16, verbose=False, session=sd,
+        )
+        return out, sess, work, result
+
+    def test_fusion_artifacts(self, fused):
+        out, sess, work, result = fused
+        pts, norms, clrs, nmerges, occ, nframes, hw, adj = result
+        assert (work / "fusion" / "fusion_data.pkl").is_file()
+        assert (work / "fusion" / "adj.pkl").is_file()
+        assert len(list((work / "fusion" / "uv2pt").glob("*.npy"))) == sess.nframes
+        uv = np.load(next((work / "fusion" / "uv2pt").glob("*.npy")))
+        assert uv.dtype == np.int32 and uv.shape == (64 * 48,)
+        assert uv.max() < len(pts)
+        assert len(adj) == len(pts)
+        assert 0 < len(pts) < sess.nframes * 64 * 48
+
+    def test_segment_and_artifacts(self, fused):
+        out, sess, work, result = fused
+        votes, classes = get3dseg.segment(
+            work, Path(out) / "masks",
+            threshold=0.5, nclasses=133,
+            filter_classes=None, min_pts_per_inst=30, verbose=False,
+        )
+        seg = Path(work) / "segmentation"
+        pan = Path(work) / "panoptic_segmentation"
+        for f in ("votes.npy", "classes.npy", "info.json", "pcd.ply", "final_pcd.ply"):
+            assert (seg / f).is_file(), f
+        for f in ("ids.npy", "info.json", "pcd.ply", "final_info.json"):
+            assert (pan / f).is_file(), f
+
+        # geometric ground truth: points classified floor lie near y=0,
+        # ceiling near y=H, walls near a wall plane
+        pts = result[0]
+        cls = np.load(seg / "classes.npy")
+        sy = sess.room.size[1]
+        floor = cls == synthetic.FLOOR_CLASS
+        ceil = cls == synthetic.CEILING_CLASS
+        assert floor.sum() > 10 and ceil.sum() > 10
+        assert np.abs(pts[floor][:, 1]).mean() < 0.15
+        assert np.abs(pts[ceil][:, 1] - sy).mean() < 0.15
+
+        # label agreement vs per-point geometric ground truth; junction
+        # points (near two surfaces) carry arbitrary GT and are excluded
+        gt = _geometric_gt(pts, sess)
+        known = gt >= 0
+        agree = (cls[known] == gt[known]).mean()
+        assert agree > 0.95, f"label agreement {agree:.3f}"
+
+    def test_remove_classes(self, fused):
+        out, sess, work, result = fused
+        remaining = get3dseg.remove_classes(work, Path(out) / "masks", verbose=False)
+        seg = Path(work) / "segmentation"
+        assert (seg / "remaining_mask.npy").is_file()
+        assert (seg / "cleaned.ply").is_file()
+        assert (seg / "remaining.ply").is_file()
+        assert (seg / "removed_objects_info" / "classes.npy").is_file()
+        # building surfaces survive; remove_classes reclassifies at the
+        # stricter 0.75 threshold so mixed-vote junction points drop out
+        cls = np.load(seg / "classes.npy")
+        floor = cls == synthetic.FLOOR_CLASS
+        assert remaining[floor].mean() > 0.7
+        # and removable object classes (couch/tv/keyboard — not doors or
+        # windows, which are building classes) are dropped
+        obj = np.isin(cls, [57, 62, 66])
+        if obj.sum() > 10:
+            assert remaining[obj].mean() < 0.3
+
+
+def _geometric_gt(pts, sess, tol=0.12, amb_tol=0.2):
+    """Ground-truth class of fused points from the synthetic room geometry.
+
+    Points within amb_tol of two or more surfaces (wall/floor corners,
+    object-wall contacts) get gt = -1: their true label is arbitrary and
+    fused positions are radius-smeared means.
+    """
+    sx, sy, sz = sess.room.size
+    gt = np.full(len(pts), -1, np.int64)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    gt[np.abs(y) < tol] = synthetic.FLOOR_CLASS
+    gt[np.abs(y - sy) < tol] = synthetic.CEILING_CLASS
+    wall = (
+        (np.abs(x) < tol) | (np.abs(x - sx) < tol)
+        | (np.abs(z) < tol) | (np.abs(z - sz) < tol)
+    )
+    gt[wall & (gt == -1)] = synthetic.WALL_CLASS
+    nsurf = (
+        (np.abs(y) < amb_tol).astype(int) + (np.abs(y - sy) < amb_tol)
+        + (np.abs(x) < amb_tol) + (np.abs(x - sx) < amb_tol)
+        + (np.abs(z) < amb_tol) + (np.abs(z - sz) < amb_tol)
+    )
+    for b, c in zip(sess.boxes, sess.box_classes):
+        inb = (
+            (x > b[0] - tol) & (x < b[3] + tol)
+            & (y > b[1] - tol) & (y < b[4] + tol)
+            & (z > b[2] - tol) & (z < b[5] + tol)
+        )
+        gt[inb] = c
+        nearb = (
+            (x > b[0] - amb_tol) & (x < b[3] + amb_tol)
+            & (y > b[1] - amb_tol) & (y < b[4] + amb_tol)
+            & (z > b[2] - amb_tol) & (z < b[5] + amb_tol)
+        )
+        nsurf += nearb.astype(int)
+    gt[nsurf >= 2] = -1
+    return gt
