@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Headline benchmark: points/sec projected + label-fused at a 1M-pt cloud.
+
+Workload (BASELINE.md): a 1M-point world cloud observed by 300 RGB-D frames;
+per frame project every point, build the occlusion z-buffer uv2pt lookup,
+scatter mask votes; finally threshold-classify every point. The TPU path is
+one jitted lax.scan over frames; the CPU baseline is the NumPy oracle
+implementing the reference's semantics (camera_utils.py projection,
+nearest-depth uv2pt, voting.py fancy-index vote), measured on a frame subset
+and scaled linearly (the workload is embarrassingly linear in frames; scaling
+is reported in the JSON).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_workload(npts, nframes, hw, seed=0):
+    """Synthetic room-like workload: points on room surfaces, circular
+    trajectory, per-frame masks = ground-truth class of the hit pixel."""
+    from fusion3dseg_tpu.io import synthetic
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    room = synthetic.RoomSpec(num_objects=8, seed=seed)
+    sx, sy, sz = room.size
+
+    # sample world points on the 6 room surfaces + boxes (uniform by area)
+    n_per = npts // 7
+    pts = []
+    pts.append(np.c_[rng.uniform(0, sx, n_per), np.zeros(n_per), rng.uniform(0, sz, n_per)])
+    pts.append(np.c_[rng.uniform(0, sx, n_per), np.full(n_per, sy), rng.uniform(0, sz, n_per)])
+    pts.append(np.c_[np.zeros(n_per), rng.uniform(0, sy, n_per), rng.uniform(0, sz, n_per)])
+    pts.append(np.c_[np.full(n_per, sx), rng.uniform(0, sy, n_per), rng.uniform(0, sz, n_per)])
+    pts.append(np.c_[rng.uniform(0, sx, n_per), rng.uniform(0, sy, n_per), np.zeros(n_per)])
+    rest = npts - 5 * n_per
+    pts.append(np.c_[rng.uniform(0, sx, rest), rng.uniform(0, sy, rest), np.full(rest, sz)])
+    points = np.vstack(pts).astype(np.float32)
+
+    sess = synthetic.make_session(nframes=nframes, depth_hw=hw, room=room)
+    masks = sess.gt_mask.reshape(nframes, -1)
+    return points, sess.K, sess.quats_wxyz.astype(np.float32), sess.translations.astype(np.float32), masks
+
+
+def tpu_label_fuse(npts, nclasses, hw, threshold=0.5):
+    """Build the jitted fused label-fusion program.
+
+    TPU-native design: per frame, project + z-buffer-win (one segment_min)
+    and GATHER the winning pixel's mask class per point — emitting a
+    [frames, npts] uint8 class matrix instead of scattering votes. The final
+    histogram/argmax/threshold runs as one batched row-sort + vectorized
+    run-length statistics. Rationale: XLA scatter throughput into a large
+    [npts, nclasses] votes table is ~1M updates/s on TPU (measured), while
+    batched sorts and elementwise scans run at memory bandwidth — this
+    formulation removes every large-table scatter from the hot path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fusion3dseg_tpu.geometry import camera
+
+    h, w = hw
+    HW = h * w
+    INVALID = 255  # sorts after every real class id
+    # packed z-buffer entry: 12-bit quantized depth (2.4 mm over 10 m) in the
+    # high bits, 20-bit point id in the low bits -> ONE segment_min yields
+    # both the winning depth and the winning point per pixel, and the winner
+    # extraction happens pixel-side (49k-element ops) instead of per-point
+    # gathers (1M-element random access, the measured XLA bottleneck).
+    Z_SCALE = 4096.0 / 10.0
+    ID_BITS = 20
+    assert npts < (1 << ID_BITS), "packed z-buffer supports < 1M points; shard beyond"
+
+    @jax.jit
+    def run(points, K, quats, trans, masks):
+        ids = jax.lax.broadcasted_iota(jnp.int32, (npts, 1), 0)[:, 0]
+        big = jnp.int32(2**31 - 1)
+
+        def step(_, frame):
+            q, t, mask = frame
+            u, v, z = camera.project_points(points, K, q, t)
+            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            pix = jnp.where(ok, v * w + u, HW)
+            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
+            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
+            pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
+            win_id = pmin & ((1 << ID_BITS) - 1)
+            has = pmin != big
+            cls_row = jnp.full((npts,), INVALID, jnp.uint8)
+            cls_row = cls_row.at[jnp.where(has, win_id, npts)].set(
+                mask.astype(jnp.uint8), mode="drop"
+            )
+            return None, cls_row
+
+        _, C = jax.lax.scan(step, None, (quats, trans, masks))  # [F, N]
+        S = jnp.sort(C.T, axis=-1)  # [N, F]; INVALID at the end
+        F = S.shape[1]
+        rows_idx = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+        valid = S != INVALID
+        total = jnp.sum(valid, axis=-1)
+        start = jnp.concatenate(
+            [jnp.ones((S.shape[0], 1), bool), S[:, 1:] != S[:, :-1]], axis=-1
+        )
+        run_start = jax.lax.cummax(jnp.where(start, rows_idx, 0), axis=1)
+        run_len = jnp.where(valid, rows_idx - run_start + 1, 0)
+        vmax = jnp.max(run_len, axis=-1)
+        pos = jnp.argmax(run_len, axis=-1)
+        cls_at = jnp.take_along_axis(S, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        confident = (total > 0) & (vmax > 0) & (
+            vmax / jnp.maximum(total, 1) >= threshold
+        )
+        classes = jnp.where(confident, cls_at, nclasses)
+        return (total, vmax), classes
+
+    return run
+
+
+def cpu_label_fuse(points, K, quats, trans, masks, nclasses, hw, threshold=0.5):
+    """NumPy oracle: reference-semantics projection + nearest-depth uv2pt +
+    fancy-index voting + thresholded classify (tests/oracle.py logic inline,
+    written as efficient vectorized NumPy — a fair CPU baseline)."""
+    h, w = hw
+    npts = len(points)
+    votes = np.zeros((npts, nclasses + 1), np.int64)
+    ids = np.arange(npts, dtype=np.int64)
+    for f in range(len(quats)):
+        q = quats[f]
+        qc = np.array([q[0], -q[1], -q[2], -q[3]])
+        rel = points - trans[f]
+        wq, vq = qc[0], qc[1:]
+        vxp = np.cross(vq, rel)
+        cam = rel + 2.0 * (wq * vxp + np.cross(vq, vxp))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.floor((K[0, 0] * cam[:, 0] + K[0, 2] * cam[:, 2]) / cam[:, 2]).astype(np.int64)
+            v = np.floor((K[1, 1] * cam[:, 1] + K[1, 2] * cam[:, 2]) / cam[:, 2]).astype(np.int64)
+        z = cam[:, 2]
+        ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        pix = v[ok] * w + u[ok]
+        # z-buffer SPEC shared with the TPU path: nearest wins at 2.4 mm
+        # depth resolution (12-bit quantized z), ties -> lowest point index.
+        # (The reference has no z-buffer at all — last write wins arbitrarily,
+        # fusion.py:296-298 — so the depth-resolution of the occlusion rule is
+        # this framework's choice; both implementations follow it exactly.)
+        zq = np.clip(z[ok] * (4096.0 / 10.0), 0, 4095).astype(np.int64)
+        packed = (zq << 20) | ids[ok]
+        buf = np.full(h * w, np.iinfo(np.int64).max)
+        np.minimum.at(buf, pix, packed)
+        got = buf != np.iinfo(np.int64).max
+        uv2pt = np.full(h * w, -1, np.int64)
+        uv2pt[got] = buf[got] & ((1 << 20) - 1)
+        # reference vote: duplicate-collapsing fancy-index += (voting.py:98)
+        valid = uv2pt >= 0
+        votes[uv2pt[valid], masks[f][valid]] += 1
+
+    total = votes.sum(-1)
+    cls = np.argmax(votes, axis=1)
+    vmax = votes[np.arange(npts), cls]
+    bad = (total == 0) | (vmax == 0) | (vmax / np.maximum(total, 1) < threshold)
+    cls[bad] = nclasses
+    return votes, cls
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--npts", type=int, default=1_000_000)
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--oracle-frames", type=int, default=6)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--nclasses", type=int, default=133)
+    args = ap.parse_args()
+
+    hw = (args.height, args.width)
+    log(f"building workload: {args.npts} pts x {args.frames} frames {hw} ...")
+    points, K, quats, trans, masks = make_workload(args.npts, args.frames, hw)
+
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    log(f"platform: {jax.devices()}")
+
+    run = tpu_label_fuse(args.npts, args.nclasses, hw)
+    dev = (
+        jnp.asarray(points), jnp.asarray(K, jnp.float32),
+        jnp.asarray(quats), jnp.asarray(trans), jnp.asarray(masks),
+    )
+    log("compiling ...")
+    def sync(x):
+        # axon platform: block_until_ready does not actually block; force a
+        # host transfer of one element to wait for the computation
+        return np.asarray(x[0])
+
+    t0 = time.perf_counter()
+    votes_d, classes_d = run(*dev)
+    sync(classes_d)
+    log(f"first run (incl compile): {time.perf_counter() - t0:.2f}s")
+
+    best = np.inf
+    for i in range(args.repeat):
+        t0 = time.perf_counter()
+        votes_d, classes_d = run(*dev)
+        sync(classes_d)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"run {i}: {dt:.3f}s")
+    tpu_pps = args.npts * args.frames / best
+    tpu_fps = args.frames / best
+
+    # CPU oracle on a frame subset, scaled linearly
+    of = min(args.oracle_frames, args.frames)
+    log(f"cpu oracle on {of} frames ...")
+    cpu_dt = np.inf  # best-of-2: favors the CPU -> conservative ratio
+    for _ in range(2):
+        t0 = time.perf_counter()
+        votes_o, classes_o = cpu_label_fuse(
+            points, K, quats[:of], trans[:of], masks[:of], args.nclasses, hw
+        )
+        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
+    cpu_pps = args.npts * of / cpu_dt
+    log(f"cpu: {cpu_dt:.2f}s for {of} frames -> {cpu_pps:.3e} pts/s")
+
+    # exact-agreement stat on the same subset workload
+    votes_s, classes_s = run(
+        dev[0], dev[1], dev[2][:of], dev[3][:of], dev[4][:of]
+    )
+    agree = float(np.mean(np.asarray(classes_s) == classes_o))
+    log(f"label agreement vs oracle on {of}-frame workload: {agree:.6f}")
+
+    result = {
+        "metric": "points/sec projected+label-fused (1M-pt cloud, 300 frames)",
+        "value": round(tpu_pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(tpu_pps / cpu_pps, 2),
+        "frames_per_sec": round(tpu_fps, 2),
+        "label_agreement": round(agree, 6),
+        "platform": platform,
+        "npts": args.npts,
+        "frames": args.frames,
+        "cpu_points_per_sec": round(cpu_pps, 1),
+        "oracle_frames_measured": of,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,7 @@ def project_points(
       z:    [N] float camera-frame depth (positive in front of the camera).
     """
     R = quat.to_rotation_matrix(quat.conjugate(q_wxyz))  # world->camera
-    M = K @ R  # [3,3] fused projection matrix
+    M = jnp.einsum("ij,jk->ik", K, R, precision="highest")  # fused projection matrix
     # precision='highest' keeps the contraction in full f32: the TPU default
     # (bf16 MXU passes) costs whole pixels of error on this 3-wide matmul,
     # and at inner dim 3 the op is bandwidth-bound anyway.
@@ -127,7 +127,7 @@ def camera_frustum_corners(K: jax.Array, width: int, height: int) -> jax.Array:
         ],
         dtype=K.dtype,
     )
-    return pix @ Kinv.T
+    return jnp.einsum("nc,dc->nd", pix, Kinv, precision="highest")
 
 
 def frustum_world_planes(

@@ -52,8 +52,10 @@ def ray_plane_intersections(
 
     Returns ([N, 3] points, [N] t parameters; t = inf where parallel).
     """
-    denom = ray_dirs @ plane_normal
-    num = (plane_point - ray_origins) @ plane_normal
+    denom = jnp.einsum("nc,c->n", ray_dirs, plane_normal, precision="highest")
+    num = jnp.einsum(
+        "nc,c->n", plane_point - ray_origins, plane_normal, precision="highest"
+    )
     t = jnp.where(jnp.abs(denom) > _EPS, num / denom, jnp.inf)
     return ray_origins + t[:, None] * ray_dirs, t
 
@@ -68,8 +70,13 @@ def lines_planes_intersections(
 
     Returns ([N, M, 3] points, [N, M] t; t = inf where parallel).
     """
-    denom = jnp.einsum("nc,mc->nm", line_dirs, plane_normals)
-    num = jnp.einsum("nmc,mc->nm", plane_points[None] - line_points[:, None], plane_normals)
+    denom = jnp.einsum("nc,mc->nm", line_dirs, plane_normals, precision="highest")
+    num = jnp.einsum(
+        "nmc,mc->nm",
+        plane_points[None] - line_points[:, None],
+        plane_normals,
+        precision="highest",
+    )
     t = jnp.where(jnp.abs(denom) > _EPS, num / denom, jnp.inf)
     return line_points[:, None] + t[..., None] * line_dirs[:, None], t
 
@@ -90,7 +97,7 @@ def points_in_polygon_sign(
     edges = nxt - polygon  # [V, 3]
     to_pt = points[:, None, :] - polygon[None, :, :]  # [N, V, 3]
     crosses = jnp.cross(jnp.broadcast_to(edges[None], to_pt.shape), to_pt)
-    side = jnp.einsum("nvc,c->nv", crosses, normal)
+    side = jnp.einsum("nvc,c->nv", crosses, normal, precision="highest")
     return jnp.all(side >= 0, axis=-1) | jnp.all(side <= 0, axis=-1)
 
 
@@ -108,7 +115,7 @@ def project_points_to_plane(
     Returns ([N, 3] projected points, [N] signed distances).
     """
     n = plane_normal / jnp.linalg.norm(plane_normal)
-    dist = (points - plane_point) @ n
+    dist = jnp.einsum("nc,c->n", points - plane_point, n, precision="highest")
     return points - dist[:, None] * n, dist
 
 

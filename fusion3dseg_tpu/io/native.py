@@ -1,0 +1,166 @@
+"""ctypes bindings to the native C++ grid-hash neighbor library.
+
+Host-side counterpart of ops/neighbors.py (device path): builds fixed-degree
+or CSR radius adjacencies and connected components for clouds that exceed
+device memory, replacing the reference's external `ConnectedGraph` binary
+(planeUtils.py:37-49) and sklearn KDTree adjacency (fusion.py:374-375).
+
+The library auto-builds on first use via `make -C native` (g++ is in the
+image); set FUSION3DSEG_NO_NATIVE=1 to force the pure-NumPy fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_NATIVE_DIR = _REPO_ROOT / "native"
+_LIB_PATH = _NATIVE_DIR / "libneighbor_graph.so"
+_lib = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("FUSION3DSEG_NO_NATIVE"):
+        return None
+    if not _LIB_PATH.is_file():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR), "libneighbor_graph.so"],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.radius_graph.restype = ctypes.c_int
+    lib.radius_graph.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.radius_graph_csr.restype = ctypes.c_int
+    lib.radius_graph_csr.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.connected_components.restype = ctypes.c_int
+    lib.connected_components.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_f32c(points) -> np.ndarray:
+    pts = np.ascontiguousarray(np.asarray(points, np.float32))
+    assert pts.ndim == 2 and pts.shape[1] == 3
+    return pts
+
+
+def radius_graph(points, radius: float, k: int = 16) -> np.ndarray:
+    """[N, k] int32 fixed-degree adjacency (-1 padded, nearest-first)."""
+    lib = _load()
+    pts = _as_f32c(points)
+    n = len(pts)
+    adj = np.empty((n, k), np.int32)
+    if lib is None:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(pts)
+        adj.fill(-1)
+        for i, (dists, idx) in enumerate(
+            zip(*tree.query(pts, k=k, distance_upper_bound=radius * (1 + 1e-6)))
+        ):
+            sel = np.isfinite(dists)
+            adj[i, : sel.sum()] = idx[sel]
+        return adj
+    rc = lib.radius_graph(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(radius), k,
+        adj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"radius_graph failed rc={rc}")
+    return adj
+
+
+def radius_graph_lists(points, radius: float):
+    """Object-array adjacency lists (the reference adj.pkl format,
+    fusion.py:374-377) via the CSR two-pass API."""
+    lib = _load()
+    pts = _as_f32c(points)
+    n = len(pts)
+    if lib is None:
+        from scipy.spatial import cKDTree
+
+        lists = cKDTree(pts).query_ball_point(pts, radius)
+        out = np.empty(n, object)
+        for i, l in enumerate(lists):
+            out[i] = np.asarray(l, np.int64)
+        return out
+    offsets = np.empty(n + 1, np.int64)
+    rc = lib.radius_graph_csr(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(radius),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), None,
+    )
+    if rc != 0:
+        raise RuntimeError(f"radius_graph_csr count failed rc={rc}")
+    indices = np.empty(int(offsets[n]), np.int32)
+    rc = lib.radius_graph_csr(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(radius),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"radius_graph_csr fill failed rc={rc}")
+    out = np.empty(n, object)
+    for i in range(n):
+        out[i] = indices[offsets[i] : offsets[i + 1]].astype(np.int64)
+    return out
+
+
+def connected_components(points, radius: float, labels=None) -> np.ndarray:
+    """[N] int32 component roots (min point index); optional same-label
+    restriction — the ConnectedGraph capability as a library call."""
+    lib = _load()
+    pts = _as_f32c(points)
+    n = len(pts)
+    if lib is None:
+        import sys
+
+        sys.path.insert(0, str(_REPO_ROOT / "tests"))
+        import oracle
+
+        lists = oracle.radius_neighbors(pts, radius)
+        lab = np.zeros(n, np.int64) if labels is None else np.asarray(labels)
+        return oracle.flood_fill_components(lab, lists).astype(np.int32)
+    out = np.empty(n, np.int32)
+    lab_ptr = None
+    if labels is not None:
+        lab = np.ascontiguousarray(np.asarray(labels, np.int32))
+        lab_ptr = lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.connected_components(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        ctypes.c_float(radius), lab_ptr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"connected_components failed rc={rc}")
+    return out

@@ -81,7 +81,9 @@ def instance_obbs(
     pmin = jnp.where(empty[:, None], 0.0, pmin)
 
     half = (pmax - pmin) / 2.0
-    centers = mean[:K] + jnp.einsum("kc,kcd->kd", (pmax + pmin) / 2.0, axes)
+    centers = mean[:K] + jnp.einsum(
+        "kc,kcd->kd", (pmax + pmin) / 2.0, axes, precision="highest"
+    )
     return centers, axes, half, cnt[:K].astype(jnp.int32)
 
 
@@ -91,7 +93,7 @@ def obb_corners(centers: jax.Array, axes: jax.Array, half: jax.Array) -> jax.Arr
         [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
         jnp.float32,
     )  # [8, 3]
-    offs = jnp.einsum("sc,kc,kcd->ksd", signs, half, axes)
+    offs = jnp.einsum("sc,kc,kcd->ksd", signs, half, axes, precision="highest")
     return centers[:, None, :] + offs
 
 

@@ -98,7 +98,9 @@ def patch_sparsify(
         jnp.where(valid[:, None], normals, 0.0), seg0, num_segments=c_base + 1
     )
     nmean = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
-    agree = jnp.einsum("nc,nc->n", normals, nmean[jnp.clip(seg0, 0, c_base - 1)])
+    agree = jnp.einsum(
+        "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, c_base - 1)], precision="highest"
+    )
     secondary = (agree <= min_cosine) & valid
 
     # pass 2: split disagreeing points into the secondary subcell

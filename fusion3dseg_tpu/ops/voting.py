@@ -49,14 +49,26 @@ def vote_frame(
     """
     npts, nc1 = votes.shape
     valid = uv2pt >= 0
-    pt = jnp.where(valid, uv2pt, 0)
     cls = jnp.clip(mask.astype(jnp.int32), 0, nc1 - 1)
-    ones = valid.astype(jnp.int32)
+    # flat (point, class) key; invalid pixels get an out-of-range trash key
+    # dropped by the scatter. npts * nc1 must fit int32 (~16M points at 134
+    # classes) — beyond that, shard the point axis (parallel/voting.py).
+    key = jnp.where(valid, uv2pt * nc1 + cls, npts * nc1)
+    flat = votes.reshape(-1)
     if dedup:
-        # presence scatter: duplicates in one frame count once
-        delta = jnp.zeros((npts, nc1), jnp.int32).at[pt, cls].max(ones, mode="drop")
-        return votes + delta
-    return votes.at[pt, cls].add(ones, mode="drop")
+        # sort keys and count only the first of each run: duplicates within
+        # one frame collapse to a single increment without materializing a
+        # [npts, nc1] presence buffer (whose per-frame zeroing would dwarf
+        # the actual scatter traffic at 1M+ points).
+        skey = jnp.sort(key)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        )
+        w = (first & (skey < npts * nc1)).astype(votes.dtype)
+        flat = flat.at[skey].add(w, mode="drop")
+    else:
+        flat = flat.at[key].add(valid.astype(votes.dtype), mode="drop")
+    return flat.reshape(npts, nc1)
 
 
 @partial(jax.jit, static_argnames=("npts", "nclasses", "dedup"))

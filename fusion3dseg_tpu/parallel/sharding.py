@@ -1,0 +1,134 @@
+"""Device-mesh sharding for the 2D segmenter: dp x tp GSPMD training step.
+
+The reference has zero distribution (SURVEY.md §2 parallelism statement);
+this layer is new design. Model parameters carry logical axis names
+(models/segformer.py: 'embed' stays replicated, 'hidden' — attention
+heads / FFN hidden — shards tensor-parallel); batches shard data-parallel.
+jit + NamedSharding lets XLA's SPMD partitioner insert the all-reduces over
+ICI (the scaling-book recipe: pick a mesh, annotate shardings, let XLA
+insert collectives).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# logical axis -> mesh axis
+LOGICAL_RULES = (("embed", None), ("hidden", "tp"), ("batch", "dp"))
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, tp: Optional[int] = None, devices=None
+) -> Mesh:
+    """Build a (dp, tp) mesh. tp defaults to min(4, largest power-of-two
+    divisor); dp gets the rest. Lay tp innermost so its collectives ride
+    adjacent ICI links."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if tp is None:
+        tp = 1
+        while tp < 4 and n % (tp * 2) == 0:
+            tp *= 2
+    dp = n // tp
+    return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
+
+
+def param_shardings(mesh: Mesh, variables) -> Any:
+    """NamedShardings for a (possibly nn.Partitioned-boxed) param pytree."""
+    spec = nn.get_partition_spec(variables)
+    return nn.logical_to_mesh_sharding(spec, mesh, LOGICAL_RULES)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross entropy; logits [B,H,W,C] f32, labels [B,H,W] int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def make_train_step(model: nn.Module, optimizer: optax.GradientTransformation):
+    """Returns train_step(params, opt_state, images, labels) -> (params,
+    opt_state, loss). Pure function of boxed (Partitioned) params so sharding
+    metadata flows through jit."""
+
+    def loss_fn(params, images, labels):
+        logits = model.apply({"params": params}, images)
+        return cross_entropy_loss(logits, labels)
+
+    def train_step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def init_sharded_train(
+    model: nn.Module,
+    mesh: Mesh,
+    input_hw: Tuple[int, int] = (64, 64),
+    learning_rate: float = 1e-4,
+    rng: int = 0,
+):
+    """Initialize params + optimizer state with mesh shardings applied and
+    return (params, opt_state, jitted_train_step, shardings dict).
+
+    The jitted step has in/out shardings pinned: params/opt-state on their
+    tp layout, batch on dp — the full dp x tp training step the multi-chip
+    dryrun compiles (see __graft_entry__.dryrun_multichip).
+    """
+    optimizer = optax.adamw(learning_rate)
+
+    def init_fn(key):
+        dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
+        variables = model.init(key, dummy)
+        params = nn.meta.unbox(variables["params"])  # plain arrays downstream
+        opt_state = optimizer.init(params)
+        return params, opt_state
+
+    key = jax.random.PRNGKey(rng)
+    # trace once (with boxes) to learn the logical specs, then init directly
+    # into the mesh layouts
+    boxed_shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, *input_hw, 3), jnp.float32)), key
+    )
+    pspec = nn.get_partition_spec(boxed_shapes)["params"]
+    psharding = nn.logical_to_mesh_sharding(pspec, mesh, LOGICAL_RULES)
+    # adam moments are replicated for now (functionally correct — XLA
+    # reshards; memory-suboptimal). TODO: mirror psharding into mu/nu.
+    oshapes = jax.eval_shape(init_fn, key)[1]
+    osharding = jax.tree.map(lambda _: replicated(mesh), oshapes)
+
+    init_jit = jax.jit(init_fn, out_shardings=(psharding, osharding))
+    params, opt_state = init_jit(key)
+
+    raw_step = make_train_step(model, optimizer)
+    step = jax.jit(
+        raw_step,
+        in_shardings=(psharding, osharding, data_sharding(mesh), data_sharding(mesh)),
+        out_shardings=(psharding, osharding, replicated(mesh)),
+        donate_argnums=(0, 1),
+    )
+    return params, opt_state, step, {
+        "params": psharding,
+        "opt_state": osharding,
+        "data": data_sharding(mesh),
+    }

@@ -1,0 +1,150 @@
+"""2D semantic segmentation entry point — reference get2DSeg.py parity.
+
+SegmentImage(input_dir, output_dir, extension, conf_threshold,
+filter_classes) keeps the reference signature (:82) and artifact contract:
+for each <stem>.<ext> in input_dir, write output_dir/<stem>.png — a uint8
+class-id image — plus output_dir/viz/<stem>.png color overlay
+(get2DSeg.py:121-126). The per-pixel rule is identical: argmax over the 133
+class logits; pixels whose softmax confidence falls below conf_threshold
+(default 0.017) become class 133 "unclassified" (get2DSeg.py:111-118);
+filter_classes skips frames containing none of the requested classes
+(:123-124).
+
+The model slot is the TPU-native SegFormer (models/segformer.py) running as
+one jitted bf16 program over BATCHES of frames — the reference loops images
+one-by-one through a torch predictor (get2DSeg.py:106-126). Checkpoints load
+via orbax; without one, weights are random (the contract is the pipeline,
+not the accuracy of an unshipped external checkpoint — the reference's
+OneFormer weights are likewise not in its repo).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import partial
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusion3dseg_tpu.models import SegFormer, SegFormerConfig, create_model
+from fusion3dseg_tpu.utils import palette as pal
+from fusion3dseg_tpu.utils import timing
+
+
+class Segmenter2D:
+    """Jitted batched semantic-inference wrapper (the OneFormer slot)."""
+
+    def __init__(
+        self,
+        config: SegFormerConfig = SegFormerConfig(),
+        checkpoint_dir=None,
+        input_hw=(512, 512),
+        batch_size: int = 8,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.input_hw = tuple(input_hw)
+        self.batch_size = batch_size
+        self.model, self.params = create_model(config, seed, self.input_hw)
+        if checkpoint_dir is not None:
+            self.params = load_checkpoint(checkpoint_dir, self.params)
+
+        @partial(jax.jit, static_argnames=("out_h", "out_w"))
+        def _infer(params, images, conf_threshold, out_h, out_w):
+            # images: [B, H, W, 3] f32 [0,1]
+            logits = self.model.apply({"params": params}, images)  # [B,H,W,C]
+            logits = jax.image.resize(
+                logits, (images.shape[0], out_h, out_w, logits.shape[-1]),
+                method="bilinear",
+            )
+            sem = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+            nclasses = logits.shape[-1] - 1
+            sem = jnp.where(conf < conf_threshold, nclasses, sem)
+            return sem.astype(jnp.uint8)
+
+        self._infer = _infer
+
+    def predict_batch(
+        self, images: np.ndarray, conf_threshold: float = 0.017
+    ) -> np.ndarray:
+        """images: [B, H, W, 3] uint8 RGB -> [B, H, W] uint8 class ids at the
+        ORIGINAL resolution (resized through the model's input size)."""
+        import cv2
+
+        b, h, w = images.shape[:3]
+        ih, iw = self.input_hw
+        resized = np.stack(
+            [cv2.resize(im, (iw, ih), interpolation=cv2.INTER_LINEAR) for im in images]
+        ).astype(np.float32) / 255.0
+        out = self._infer(
+            self.params, jnp.asarray(resized), jnp.float32(conf_threshold), h, w
+        )
+        return np.asarray(out)
+
+
+def save_checkpoint(checkpoint_dir, params) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(Path(checkpoint_dir).absolute() / "params", params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(checkpoint_dir, like_params):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(
+        Path(checkpoint_dir).absolute() / "params",
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like_params),
+    )
+
+
+def SegmentImage(
+    input_dir,
+    output_dir,
+    extension: str = "jpg",
+    conf_threshold: float = 0.017,
+    filter_classes: Optional[Sequence[int]] = None,
+    segmenter: Optional[Segmenter2D] = None,
+    batch_size: int = 8,
+    verbose: bool = False,
+):
+    """Batch-segment a directory of RGB frames (reference get2DSeg.py:82-126)."""
+    import cv2
+
+    filter_classes = set(filter_classes) if filter_classes is not None else None
+    os.makedirs(output_dir, exist_ok=True)
+    viz_dir = os.path.join(output_dir, "viz")
+    os.makedirs(viz_dir, exist_ok=True)
+    images = sorted(glob.glob(f"{input_dir}/*{extension}"))
+    if not images:
+        return
+
+    if segmenter is None:
+        segmenter = Segmenter2D(batch_size=batch_size)
+
+    viz_palette = (pal.random_palette(segmenter.config.num_classes, seed=0) * 255).astype(np.uint8)
+
+    with timing.span("seg2d.inference", verbose=verbose, frames=len(images)):
+        for i in range(0, len(images), batch_size):
+            chunk = images[i : i + batch_size]
+            ims = [cv2.imread(p)[:, :, ::-1] for p in chunk]
+            hw0 = ims[0].shape[:2]
+            batch = np.stack([im if im.shape[:2] == hw0 else cv2.resize(im, hw0[::-1]) for im in ims])
+            sems = segmenter.predict_batch(batch, conf_threshold)
+            for path, im, sem in zip(chunk, ims, sems):
+                if filter_classes is not None:
+                    if not (set(np.unique(sem).tolist()) & filter_classes):
+                        continue
+                stem = Path(path).stem
+                overlay = (0.45 * im + 0.55 * viz_palette[sem]).astype(np.uint8)
+                cv2.imwrite(os.path.join(viz_dir, f"{stem}.png"), overlay[:, :, ::-1])
+                cv2.imwrite(os.path.join(output_dir, f"{stem}.png"), sem)
+            if verbose:
+                print(f"segmented {min(i + batch_size, len(images))}/{len(images)}")

@@ -1,0 +1,260 @@
+// neighbor_graph.cpp — host-side fixed-radius neighbor graph (grid hash).
+//
+// Native replacement for two reference components (SURVEY.md §2.20):
+//   * the external C++ `Executables/ConnectedGraph` binary invoked by
+//     segUtils/planeUtils.py:37-49 (connected-vertex graph with max_point /
+//     min_dist arguments, consumed as a VIDs CSV), and
+//   * the sklearn KDTree radius adjacency computed at fusion dump time
+//     (fusion.py:374-375).
+//
+// Design: spatial hash over cells of side `radius`; each point scans its 27
+// neighboring cells. Cells are stored CSR-style after a counting-sort pass —
+// O(N) build, cache-friendly sequential scans, OpenMP-free (single core in
+// this image) but trivially parallelizable. Exposed as a C ABI for ctypes
+// (fusion3dseg_tpu/io/native.py) and as a standalone CLI compatible with the
+// ConnectedGraph argument order: <in.csv|ply> <out.csv> <max_point>
+// <min_dist> <c> <visualize>.
+//
+// Build: make -C native  (produces libneighbor_graph.so + connected_graph)
+
+#include <cstdint>
+#include <cstdio>
+#include <functional>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <string>
+#include <unordered_map>
+#include <algorithm>
+
+namespace {
+
+struct CellKey {
+  int32_t x, y, z;
+  bool operator==(const CellKey& o) const { return x == o.x && y == o.y && z == o.z; }
+};
+
+struct CellKeyHash {
+  size_t operator()(const CellKey& k) const {
+    // large-prime mix; good spread for lattice coordinates
+    return (size_t)k.x * 73856093u ^ (size_t)k.y * 19349663u ^ (size_t)k.z * 83492791u;
+  }
+};
+
+struct Grid {
+  float inv_cell;
+  std::unordered_map<CellKey, std::pair<int32_t, int32_t>, CellKeyHash> ranges;  // cell -> [begin,end) in order
+  std::vector<int32_t> order;  // point indices grouped by cell
+};
+
+Grid build_grid(const float* pts, int64_t n, float radius) {
+  Grid g;
+  g.inv_cell = 1.0f / radius;
+  std::vector<CellKey> keys((size_t)n);
+  std::unordered_map<CellKey, int32_t, CellKeyHash> counts;
+  counts.reserve((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    CellKey k{(int32_t)std::floor(pts[3 * i + 0] * g.inv_cell),
+              (int32_t)std::floor(pts[3 * i + 1] * g.inv_cell),
+              (int32_t)std::floor(pts[3 * i + 2] * g.inv_cell)};
+    keys[(size_t)i] = k;
+    counts[k]++;
+  }
+  // CSR layout: assign each cell a contiguous range
+  g.ranges.reserve(counts.size());
+  int32_t offset = 0;
+  for (auto& kv : counts) {
+    g.ranges.emplace(kv.first, std::make_pair(offset, offset));
+    offset += kv.second;
+  }
+  g.order.resize((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    auto& r = g.ranges[keys[(size_t)i]];
+    g.order[(size_t)r.second++] = (int32_t)i;
+  }
+  return g;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fixed-degree adjacency: adj[n*k] int32, -1 padded, neighbors sorted by
+// distance (self included, matching KDTree.query_radius semantics).
+// Returns 0 on success.
+int radius_graph(const float* pts, int64_t n, float radius, int32_t k,
+                 int32_t* adj) {
+  if (n <= 0 || k <= 0) return 1;
+  Grid g = build_grid(pts, n, radius);
+  const float r2 = radius * radius;
+  std::vector<std::pair<float, int32_t>> cand;
+  cand.reserve(64);
+  for (int64_t i = 0; i < n; ++i) {
+    const float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
+    const int32_t cx = (int32_t)std::floor(px * g.inv_cell);
+    const int32_t cy = (int32_t)std::floor(py * g.inv_cell);
+    const int32_t cz = (int32_t)std::floor(pz * g.inv_cell);
+    cand.clear();
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          auto it = g.ranges.find(CellKey{cx + dx, cy + dy, cz + dz});
+          if (it == g.ranges.end()) continue;
+          for (int32_t s = it->second.first; s < it->second.second; ++s) {
+            const int32_t j = g.order[(size_t)s];
+            const float ddx = pts[3 * j] - px, ddy = pts[3 * j + 1] - py,
+                        ddz = pts[3 * j + 2] - pz;
+            const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+            if (d2 <= r2) cand.emplace_back(d2, j);
+          }
+        }
+    const int32_t kk = (int32_t)std::min<size_t>((size_t)k, cand.size());
+    std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
+    for (int32_t s = 0; s < kk; ++s) adj[i * k + s] = cand[(size_t)s].second;
+    for (int32_t s = kk; s < k; ++s) adj[i * k + s] = -1;
+  }
+  return 0;
+}
+
+// Variable-degree adjacency in CSR form (two-pass). Caller first calls with
+// indices == nullptr to obtain counts in offsets[1..n] (offsets[0]=0 after
+// exclusive scan done caller-side is NOT required: this fills offsets as
+// prefix sums already), then allocates indices[offsets[n]] and calls again.
+int radius_graph_csr(const float* pts, int64_t n, float radius,
+                     int64_t* offsets, int32_t* indices) {
+  if (n <= 0) return 1;
+  Grid g = build_grid(pts, n, radius);
+  const float r2 = radius * radius;
+  int64_t total = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
+    const int32_t cx = (int32_t)std::floor(px * g.inv_cell);
+    const int32_t cy = (int32_t)std::floor(py * g.inv_cell);
+    const int32_t cz = (int32_t)std::floor(pz * g.inv_cell);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          auto it = g.ranges.find(CellKey{cx + dx, cy + dy, cz + dz});
+          if (it == g.ranges.end()) continue;
+          for (int32_t s = it->second.first; s < it->second.second; ++s) {
+            const int32_t j = g.order[(size_t)s];
+            const float ddx = pts[3 * j] - px, ddy = pts[3 * j + 1] - py,
+                        ddz = pts[3 * j + 2] - pz;
+            if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
+              if (indices) indices[total] = j;
+              ++total;
+            }
+          }
+        }
+    offsets[i + 1] = total;
+  }
+  return 0;
+}
+
+// Connected components over the radius graph (union-find), optionally
+// restricted to equal `labels` (pass nullptr for unrestricted) — the
+// ConnectedGraph capability. out[i] = component root (min point index).
+int connected_components(const float* pts, int64_t n, float radius,
+                         const int32_t* labels, int32_t* out) {
+  if (n <= 0) return 1;
+  Grid g = build_grid(pts, n, radius);
+  const float r2 = radius * radius;
+  std::vector<int32_t> root((size_t)n);
+  for (int64_t i = 0; i < n; ++i) root[(size_t)i] = (int32_t)i;
+  std::function<int32_t(int32_t)> find = [&](int32_t a) {
+    while (root[(size_t)a] != a) {
+      root[(size_t)a] = root[(size_t)root[(size_t)a]];
+      a = root[(size_t)a];
+    }
+    return a;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    const float px = pts[3 * i], py = pts[3 * i + 1], pz = pts[3 * i + 2];
+    const int32_t cx = (int32_t)std::floor(px * g.inv_cell);
+    const int32_t cy = (int32_t)std::floor(py * g.inv_cell);
+    const int32_t cz = (int32_t)std::floor(pz * g.inv_cell);
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          auto it = g.ranges.find(CellKey{cx + dx, cy + dy, cz + dz});
+          if (it == g.ranges.end()) continue;
+          for (int32_t s = it->second.first; s < it->second.second; ++s) {
+            const int32_t j = g.order[(size_t)s];
+            if (j <= (int32_t)i) continue;
+            if (labels && labels[i] != labels[j]) continue;
+            const float ddx = pts[3 * j] - px, ddy = pts[3 * j + 1] - py,
+                        ddz = pts[3 * j + 2] - pz;
+            if (ddx * ddx + ddy * ddy + ddz * ddz <= r2) {
+              int32_t ra = find((int32_t)i), rb = find(j);
+              if (ra != rb) root[(size_t)std::max(ra, rb)] = std::min(ra, rb);
+            }
+          }
+        }
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = find((int32_t)i);
+  return 0;
+}
+
+}  // extern "C"
+
+#ifdef BUILD_CLI
+#include <fstream>
+#include <sstream>
+
+// CLI with the reference ConnectedGraph argument order
+// (planeUtils.py:37-49): <input> <output> <max_point> <min_dist> <c> <viz>.
+// Input: CSV "x,y,z" per line (header allowed). Output: the VIDs CSV format
+// parsed by the reference (planeUtils.py:82-91): one line per component,
+// "VIDs" header, each line "<count>,<id>,<id>,...".
+int main(int argc, char** argv) {
+  if (argc < 5) {
+    std::fprintf(stderr,
+                 "usage: %s <in.csv> <out.csv> <max_point> <min_dist> [c] [viz]\n",
+                 argv[0]);
+    return 2;
+  }
+  const char* inpath = argv[1];
+  const char* outpath = argv[2];
+  const int64_t max_point = std::atoll(argv[3]);
+  const float min_dist = (float)std::atof(argv[4]);
+
+  std::vector<float> pts;
+  std::ifstream in(inpath);
+  if (!in) { std::fprintf(stderr, "cannot open %s\n", inpath); return 1; }
+  std::string line;
+  while (std::getline(in, line)) {
+    if (line.empty()) continue;
+    std::stringstream ss(line);
+    std::string tok;
+    float v[3];
+    int got = 0;
+    while (std::getline(ss, tok, ',') && got < 3) {
+      char* end = nullptr;
+      const float f = std::strtof(tok.c_str(), &end);
+      if (end == tok.c_str()) { got = -1; break; }  // header line
+      v[got++] = f;
+    }
+    if (got == 3) { pts.push_back(v[0]); pts.push_back(v[1]); pts.push_back(v[2]); }
+    if (max_point > 0 && (int64_t)pts.size() / 3 >= max_point) break;
+  }
+  const int64_t n = (int64_t)pts.size() / 3;
+  std::vector<int32_t> comp((size_t)n);
+  connected_components(pts.data(), n, min_dist, nullptr, comp.data());
+
+  // group by root
+  std::unordered_map<int32_t, std::vector<int32_t>> groups;
+  for (int64_t i = 0; i < n; ++i) groups[comp[(size_t)i]].push_back((int32_t)i);
+  std::ofstream out(outpath);
+  out << "VIDs\n";
+  for (auto& kv : groups) {
+    out << kv.second.size();
+    for (int32_t id : kv.second) out << "," << id;
+    out << "\n";
+  }
+  std::fprintf(stderr, "%lld points -> %zu components\n", (long long)n,
+               groups.size());
+  return 0;
+}
+#endif

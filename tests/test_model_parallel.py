@@ -1,0 +1,157 @@
+"""Tests: 2D segmenter model, sharded training step, sharded voting, native lib."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fusion3dseg_tpu.models import SegFormer, SegFormerConfig, create_model
+from fusion3dseg_tpu.parallel import sharding, voting as pvoting
+from fusion3dseg_tpu.ops import voting as voting_ops, zbuffer
+from fusion3dseg_tpu.io import native
+
+TINY = SegFormerConfig(
+    num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+    num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+)
+
+
+class TestSegFormer:
+    def test_forward_shape_and_dtype(self):
+        model, params = create_model(TINY, 0, (64, 64))
+        x = jnp.zeros((2, 64, 64, 3))
+        logits = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, x)
+        assert logits.shape == (2, 64, 64, 134)
+        assert logits.dtype == jnp.float32
+
+    def test_conf_threshold_rule(self):
+        # pipeline contract: low-confidence pixels -> class 133
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+        seg = Segmenter2D(config=TINY, input_hw=(64, 64))
+        img = (np.random.default_rng(0).random((1, 48, 40, 3)) * 255).astype(np.uint8)
+        out_all_unclassified = seg.predict_batch(img, conf_threshold=1.1)
+        assert (out_all_unclassified == 133).all()
+        out = seg.predict_batch(img, conf_threshold=0.0)
+        assert out.shape == (1, 48, 40) and out.dtype == np.uint8
+        assert out.max() <= 133
+
+
+class TestSharding:
+    def test_mesh_shapes(self):
+        mesh = sharding.make_mesh(8)
+        assert mesh.shape["dp"] * mesh.shape["tp"] == 8
+
+    def test_train_step_runs_and_descends(self):
+        mesh = sharding.make_mesh(8)
+        model = SegFormer(TINY)
+        params, opt_state, step, shardings = sharding.init_sharded_train(
+            model, mesh, input_hw=(32, 32), learning_rate=1e-3
+        )
+        rng = np.random.default_rng(0)
+        images = jax.device_put(
+            jnp.asarray(rng.random((mesh.shape["dp"], 32, 32, 3)), jnp.float32),
+            shardings["data"],
+        )
+        labels = jax.device_put(
+            jnp.asarray(rng.integers(0, 134, (mesh.shape["dp"], 32, 32)), jnp.int32),
+            shardings["data"],
+        )
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, images, labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]  # optimizer reduces loss on fixed batch
+
+    def test_sharded_voting_matches_single(self, rng):
+        mesh = sharding.make_mesh(8)
+        F, HW, npts, nc = 16, 64, 8 * 25, 9
+        uv2pt = jnp.asarray(rng.integers(-1, npts, (F, HW)), jnp.int32)
+        masks = jnp.asarray(rng.integers(0, nc, (F, HW)), jnp.uint8)
+        ref = np.asarray(voting_ops.vote_all_frames(uv2pt, masks, npts, nc, dedup=True))
+        vf = np.asarray(pvoting.vote_sharded_frames(mesh, uv2pt, masks, npts, nc))
+        np.testing.assert_array_equal(vf, ref)
+        vp, classes = pvoting.vote_sharded_points(mesh, uv2pt, masks, npts, nc)
+        np.testing.assert_array_equal(np.asarray(vp), ref)
+        ref_classes = np.asarray(voting_ops.classify(jnp.asarray(ref), 0.5, nc, None))
+        np.testing.assert_array_equal(np.asarray(classes), ref_classes)
+
+
+class TestPackedZbuffer:
+    def test_matches_quantized_spec(self, rng):
+        H, W = 16, 12
+        n = 500
+        u = jnp.asarray(rng.integers(-2, W + 2, n), jnp.int32)
+        v = jnp.asarray(rng.integers(-2, H + 2, n), jnp.int32)
+        z = jnp.asarray(rng.uniform(0.05, 9.9, n), jnp.float32)
+        valid = jnp.asarray(rng.random(n) > 0.1)
+        got = np.asarray(
+            zbuffer.zbuffer_uv2pt_packed(u, v, z, valid, H, W, max_depth=10.0)
+        )
+        # oracle with the same quantized spec
+        un, vn, zn, valn = map(np.asarray, (u, v, z, valid))
+        ok = valn & (zn > 0) & (un >= 0) & (un < W) & (vn >= 0) & (vn < H)
+        zq = np.clip(zn * (2**11 / 10.0), 0, 2**11 - 1).astype(np.int64)
+        packed = (zq << 20) | np.arange(n)
+        buf = np.full(H * W, np.iinfo(np.int64).max)
+        np.minimum.at(buf, vn[ok] * W + un[ok], packed[ok])
+        want = np.where(buf == np.iinfo(np.int64).max, -1, buf & (2**20 - 1))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestNative:
+    def test_available_and_matches_device_graph(self, rng):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        r = 0.4
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        import oracle
+
+        lists = oracle.radius_neighbors(pts, r)
+        adj = native.radius_graph(pts, r, k=64)
+        for i in range(len(pts)):
+            got = set(adj[i][adj[i] >= 0].tolist())
+            assert got == set(int(x) for x in lists[i])
+
+    def test_csr_lists(self, rng):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        lists = native.radius_graph_lists(pts, 0.5)
+        import oracle
+
+        want = oracle.radius_neighbors(pts, 0.5)
+        for a, b in zip(lists, want):
+            assert set(a.tolist()) == set(int(x) for x in b)
+
+    def test_connected_components(self, rng):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        a = rng.normal(size=(50, 3)) * 0.05
+        b = rng.normal(size=(50, 3)) * 0.05 + 10
+        pts = np.vstack([a, b]).astype(np.float32)
+        comp = native.connected_components(pts, 0.5)
+        assert len(np.unique(comp[:50])) == 1
+        assert len(np.unique(comp[50:])) == 1
+        assert comp[0] != comp[50]
+
+    def test_cli_vids_format(self, tmp_path, rng):
+        import subprocess, pathlib
+
+        exe = pathlib.Path(__file__).parents[1] / "native" / "connected_graph"
+        if not exe.is_file():
+            pytest.skip("cli not built")
+        pts = np.vstack([
+            rng.normal(size=(30, 3)) * 0.05,
+            rng.normal(size=(30, 3)) * 0.05 + 5,
+        ])
+        incsv = tmp_path / "in.csv"
+        np.savetxt(incsv, pts, delimiter=",", header="x,y,z")
+        out = tmp_path / "out.csv"
+        subprocess.run([str(exe), str(incsv), str(out), "0", "0.5", "0", "0"], check=True)
+        lines = out.read_text().strip().splitlines()
+        assert lines[0] == "VIDs"
+        sizes = sorted(int(l.split(",")[0]) for l in lines[1:])
+        assert sizes == [30, 30]
