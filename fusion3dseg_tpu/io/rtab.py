@@ -327,6 +327,50 @@ class SessionData:
         )
 
 
+def perturb_poses(
+    quats_xyzw: np.ndarray,
+    translations: np.ndarray,
+    rotation_xyzw,
+    translation_delta,
+    frame_indices,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Apply a rotation/translation perturbation to a subset of frames.
+
+    Capability parity with reference getModifiedYRTS (ios_rtab.py:310-326):
+    compose the given quaternion onto each selected frame's rotation and add
+    the translation delta. Returns new (quats_xyzw, translations) arrays.
+    """
+    quats_xyzw = np.array(quats_xyzw, copy=True)
+    translations = np.array(translations, copy=True)
+    dq = np.asarray(rotation_xyzw, np.float64)[[3, 0, 1, 2]]  # -> wxyz
+    for i in frame_indices:
+        q = quats_xyzw[i][[3, 0, 1, 2]]
+        composed = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(q)))
+        quats_xyzw[i] = composed[[1, 2, 3, 0]]
+        translations[i] = translations[i] + np.asarray(translation_delta)
+    return quats_xyzw, translations
+
+
+def retransform_points(
+    org_points_cam: np.ndarray,  # [F, N, 3] camera-frame points
+    quats_xyzw: np.ndarray,
+    translations: np.ndarray,
+) -> np.ndarray:
+    """Re-derive world points under (modified) poses in one vmapped program.
+
+    Capability parity with reference getModifytofCameraData
+    (ios_rtab.py:328-352), which loops frames through pyquaternion.
+    """
+    wxyz = np.asarray(quats_xyzw)[:, [3, 0, 1, 2]]
+    return np.asarray(
+        camera.camera_to_world(
+            jnp.asarray(org_points_cam, jnp.float32),
+            jnp.asarray(wxyz, jnp.float32),
+            jnp.asarray(translations, jnp.float32),
+        )
+    )
+
+
 def export_rtab(path_in, path_out) -> bool:
     """Shell out to the external rtabmap-export C++ tool (extRTAB.py:7-49).
 

@@ -7,3 +7,10 @@ from fusion3dseg_tpu.pipeline.get3dseg import (  # noqa: F401
     semantic_viz,
 )
 from fusion3dseg_tpu.pipeline.merge_bb import merge_bb  # noqa: F401
+from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D  # noqa: F401
+from fusion3dseg_tpu.pipeline import (  # noqa: F401
+    correspondence,
+    door_window,
+    planes,
+    refinement,
+)
