@@ -1,0 +1,196 @@
+"""Command-line interface for the pipeline stages.
+
+The reference has no CLI — its entry scripts hard-code paths in __main__
+blocks (get2DSeg.py:128-132, process3D.py:71-87, SURVEY.md §5 config note).
+This exposes every stage as a subcommand over the typed configs:
+
+  python -m fusion3dseg_tpu seg2d <rgb_dir> <mask_dir> [--conf-threshold ...]
+  python -m fusion3dseg_tpu ingest <export_dir> [--write-cache]
+  python -m fusion3dseg_tpu fuse <session_dir> <out_dir> [--radius ...]
+  python -m fusion3dseg_tpu seg3d <out_dir> <mask_dir> [--threshold ...]
+  python -m fusion3dseg_tpu remove-classes <out_dir> <mask_dir>
+  python -m fusion3dseg_tpu doorwindow <out_dir>
+  python -m fusion3dseg_tpu synth <out_dir> [--frames ...]
+  python -m fusion3dseg_tpu train [--steps ...]
+  python -m fusion3dseg_tpu all <export_dir> <out_dir>   (full pipeline)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fusion3dseg_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("seg2d", help="2D semantic segmentation of RGB frames")
+    s.add_argument("input_dir")
+    s.add_argument("output_dir")
+    s.add_argument("--extension", default="jpg")
+    s.add_argument("--conf-threshold", type=float, default=0.017)
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--batch-size", type=int, default=8)
+
+    s = sub.add_parser("ingest", help="load an rtabmap-export dir; optionally write the pickle cache")
+    s.add_argument("export_dir")
+    s.add_argument("--write-cache", action="store_true")
+    s.add_argument("--padding", action="store_true")
+
+    s = sub.add_parser("fuse", help="multi-view fusion -> sparse cloud + uv2pt")
+    s.add_argument("input_dir")
+    s.add_argument("output_dir")
+    s.add_argument("--radius", type=float, default=0.05)
+    s.add_argument("--angle", type=float, default=10.0)
+    s.add_argument("--stride", type=int, default=10)
+    s.add_argument("--min-depth", type=float, default=0.1)
+    s.add_argument("--max-depth", type=float, default=4.0)
+    s.add_argument("--decimation", type=int, default=1)
+    s.add_argument("--min-occ", type=int, default=3)
+    s.add_argument("--capacity", type=int, default=1 << 20)
+
+    s = sub.add_parser("seg3d", help="vote + classify + instance split + master classes")
+    s.add_argument("session_dir")
+    s.add_argument("mask_dir")
+    s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--nclasses", type=int, default=133)
+    s.add_argument("--filter-classes", type=int, nargs="*", default=None)
+    s.add_argument("--min-pts-per-inst", type=int, default=100)
+
+    s = sub.add_parser("remove-classes", help="keep-class filtering / scene cleanup")
+    s.add_argument("session_dir")
+    s.add_argument("mask_dir")
+    s.add_argument("--threshold", type=float, default=0.75)
+    s.add_argument("--keep-classes", type=int, nargs="*", default=None)
+
+    s = sub.add_parser("doorwindow", help="door/window rectangle meshes")
+    s.add_argument("session_dir")
+    s.add_argument("--proxy-mesh", default=None)
+
+    s = sub.add_parser("synth", help="generate a synthetic test session")
+    s.add_argument("out_dir")
+    s.add_argument("--frames", type=int, default=32)
+    s.add_argument("--height", type=int, default=256)
+    s.add_argument("--width", type=int, default=192)
+    s.add_argument("--seed", type=int, default=0)
+
+    s = sub.add_parser("train", help="train the 2D segmenter")
+    s.add_argument("--steps", type=int, default=1000)
+    s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--lr", type=float, default=6e-5)
+    s.add_argument("--checkpoint-dir", default=None)
+    s.add_argument("--rgb-dir", default=None)
+    s.add_argument("--mask-dir", default=None)
+    s.add_argument("--input-size", type=int, default=256)
+
+    s = sub.add_parser("all", help="full pipeline: ingest -> seg2d -> fuse -> seg3d")
+    s.add_argument("export_dir")
+    s.add_argument("output_dir")
+    s.add_argument("--mask-dir", default=None, help="use existing masks instead of running seg2d")
+    s.add_argument("--radius", type=float, default=0.05)
+    s.add_argument("--checkpoint", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "seg2d":
+        from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D
+
+        seg = Segmenter2D(checkpoint_dir=args.checkpoint, batch_size=args.batch_size)
+        SegmentImage(
+            args.input_dir, args.output_dir, extension=args.extension,
+            conf_threshold=args.conf_threshold, segmenter=seg,
+            batch_size=args.batch_size, verbose=True,
+        )
+
+    elif args.cmd == "ingest":
+        from fusion3dseg_tpu.io import rtab
+
+        sd = rtab.SessionData.from_export_dir(args.export_dir, padding=args.padding)
+        print(f"{sd.nframes} frames, depth {sd.depth_hw}, rgb {sd.rgb_hw}")
+        if args.write_cache:
+            sub_name = sd.write_cache(args.export_dir)
+            print(f"wrote PointcloudMergeResults cache ({sub_name})")
+
+    elif args.cmd == "fuse":
+        from fusion3dseg_tpu.pipeline.process3d import process3DSeg
+
+        out = process3DSeg(
+            args.input_dir, args.output_dir,
+            radius=args.radius, angle=args.angle, stride=args.stride,
+            point_range=(args.min_depth, args.max_depth),
+            decimation=args.decimation, min_occ=args.min_occ,
+            capacity=args.capacity, verbose=True,
+        )
+        print(f"fused cloud: {len(out[0])} points")
+
+    elif args.cmd == "seg3d":
+        from fusion3dseg_tpu.pipeline.get3dseg import segment
+
+        segment(
+            args.session_dir, args.mask_dir, threshold=args.threshold,
+            nclasses=args.nclasses, filter_classes=args.filter_classes,
+            min_pts_per_inst=args.min_pts_per_inst, verbose=True,
+        )
+
+    elif args.cmd == "remove-classes":
+        from fusion3dseg_tpu.pipeline.get3dseg import remove_classes
+
+        mask = remove_classes(
+            args.session_dir, args.mask_dir, keep_classes=args.keep_classes,
+            threshold=args.threshold, verbose=True,
+        )
+        print(f"remaining points: {int(mask.sum())}/{len(mask)}")
+
+    elif args.cmd == "doorwindow":
+        from fusion3dseg_tpu.pipeline.door_window import generate_mesh
+
+        tri_ids, _, _ = generate_mesh(args.session_dir, proxy_mesh=args.proxy_mesh)
+        print(f"{len(tri_ids) // 2} door/window quads")
+
+    elif args.cmd == "synth":
+        from fusion3dseg_tpu.io import synthetic
+
+        sess = synthetic.make_session(
+            nframes=args.frames, depth_hw=(args.height, args.width),
+            room=synthetic.RoomSpec(seed=args.seed),
+        )
+        synthetic.write_session_dir(sess, args.out_dir)
+        print(f"wrote {args.frames}-frame synthetic session to {args.out_dir}")
+
+    elif args.cmd == "train":
+        from fusion3dseg_tpu.models.train import TrainConfig, train, directory_dataset
+
+        cfg = TrainConfig(
+            steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
+            checkpoint_dir=args.checkpoint_dir,
+            input_hw=(args.input_size, args.input_size),
+        )
+        ds = None
+        if args.rgb_dir and args.mask_dir:
+            ds = directory_dataset(
+                args.rgb_dir, args.mask_dir, cfg.input_hw, cfg.batch_size
+            )
+        _, loss = train(cfg, dataset=ds)
+        print(f"final loss: {loss}")
+
+    elif args.cmd == "all":
+        from pathlib import Path
+
+        from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage
+        from fusion3dseg_tpu.pipeline.get3dseg import segment
+        from fusion3dseg_tpu.pipeline.process3d import process3DSeg
+
+        mask_dir = args.mask_dir
+        if mask_dir is None:
+            mask_dir = str(Path(args.output_dir) / "masks")
+            SegmentImage(
+                str(Path(args.export_dir) / "rgb"), mask_dir, verbose=True,
+            )
+        process3DSeg(args.export_dir, args.output_dir, radius=args.radius, verbose=True)
+        segment(args.output_dir, mask_dir, verbose=True)
+        print("pipeline complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Tests: CLI subcommands, component extras, trainer smoke."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fusion3dseg_tpu import cli
+from fusion3dseg_tpu.ops import components, neighbors
+
+import oracle
+
+
+class TestCli:
+    def test_synth_ingest_fuse_seg3d(self, tmp_path):
+        sess = tmp_path / "sess"
+        out = tmp_path / "out"
+        cli.main(["synth", str(sess), "--frames", "8", "--height", "48", "--width", "36"])
+        assert (sess / "poses.txt").is_file()
+        assert len(list((sess / "masks").glob("*.png"))) == 8
+        cli.main(["ingest", str(sess), "--write-cache"])
+        assert (sess / "PointcloudMergeResults").is_dir()
+        cli.main([
+            "fuse", str(sess), str(out), "--radius", "0.1", "--stride", "6",
+            "--max-depth", "8", "--capacity", "32768",
+        ])
+        assert (out / "fusion" / "fusion_data.pkl").is_file()
+        cli.main(["seg3d", str(out), str(sess / "masks"), "--min-pts-per-inst", "20"])
+        assert (out / "segmentation" / "classes.npy").is_file()
+        assert (out / "panoptic_segmentation" / "final_info.json").is_file()
+        cli.main(["remove-classes", str(out), str(sess / "masks")])
+        assert (out / "segmentation" / "remaining_mask.npy").is_file()
+        cli.main(["doorwindow", str(out)])
+        assert (out / "panoptic_segmentation" / "triangle_ids.npy").is_file()
+
+
+class TestComponentExtras:
+    def _adj(self, pts, r):
+        return neighbors.lists_to_adjacency(oracle.radius_neighbors(pts, r), 32)
+
+    def test_floodfill_level(self, rng):
+        pts = np.c_[np.arange(20) * 0.1, np.zeros(20), np.zeros(20)].astype(np.float32)
+        adj = self._adj(pts, 0.11)
+        seeds = np.zeros(20, bool)
+        seeds[0] = True
+        m = components.floodfill_level(adj, seeds, max_level=5)
+        assert m[:6].all() and not m[7:].any()
+
+    def test_floodfill_level_class_restricted(self):
+        pts = np.c_[np.arange(20) * 0.1, np.zeros(20), np.zeros(20)].astype(np.float32)
+        adj = self._adj(pts, 0.11)
+        classes = np.r_[np.zeros(10), np.ones(10)].astype(np.int32)
+        seeds = np.zeros(20, bool)
+        seeds[0] = True
+        m = components.floodfill_level(adj, seeds, max_level=50, classes=classes)
+        assert m[:10].all() and not m[10:].any()
+
+    def test_cluster_boundaries(self):
+        pts = np.c_[np.arange(10) * 0.1, np.zeros(10), np.zeros(10)].astype(np.float32)
+        adj = self._adj(pts, 0.11)
+        ids = np.r_[np.zeros(5), np.ones(5)].astype(np.int32)
+        b = components.cluster_boundaries(ids, adj)
+        assert b[4] and b[5]
+        assert not b[0] and not b[9]
+
+    def test_merge_instances_by_classes(self):
+        ids = np.array([0, 0, 1, 1, 2, 2, 3])
+        info = [
+            {"id": 0, "category_id": 7, "area": 2},
+            {"id": 1, "category_id": 7, "area": 2},
+            {"id": 2, "category_id": 9, "area": 2},
+            {"id": 3, "category_id": 7, "area": 1},
+        ]
+        new_ids, new_info = components.merge_instances_by_classes(ids, info, [7])
+        assert set(new_ids.tolist()) == {0, 2}
+        merged = [e for e in new_info if e["id"] == 0][0]
+        assert merged["area"] == 5
+        assert len(new_info) == 2
+
+    def test_instance_separate_clusters_and_boundaries(self, rng):
+        a = rng.normal(size=(40, 3)).astype(np.float32) * 0.05
+        b = a + np.array([5, 0, 0], np.float32)
+        pts = np.vstack([a, b])
+        adj = self._adj(pts, 0.3)
+        classes = np.full(80, 3, np.int32)
+        uids, ids, info, _, clusters, boundary = components.instance_separate(
+            classes, adj, instance_classes=[3], minimum_points=5
+        )
+        assert len(clusters) == 2
+        sizes = sorted(len(v) for v in clusters.values())
+        assert sizes == [40, 40]
+
+    def test_color_segment(self):
+        ids = np.array([0, 1, 1, 2])
+        colors = components.color_segment(ids)
+        assert colors.shape == (4, 3)
+        assert (colors[1] == colors[2]).all()
+        assert not (colors[0] == colors[1]).all()
+
+
+class TestTrainerSmoke:
+    def test_short_training_reduces_loss(self):
+        import jax
+
+        from fusion3dseg_tpu.models.segformer import SegFormerConfig
+        from fusion3dseg_tpu.models.train import TrainConfig, train
+        from fusion3dseg_tpu.parallel import sharding
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        mesh = sharding.make_mesh(2, tp=1)
+        cfg = TrainConfig(model=tiny, input_hw=(32, 32), batch_size=2,
+                          steps=6, log_every=100, learning_rate=1e-3)
+        params, loss = train(cfg, mesh=mesh, verbose=False)
+        assert loss is not None and np.isfinite(loss)
