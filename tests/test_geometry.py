@@ -63,7 +63,7 @@ class TestCamera:
         K = np.array([[400.0, 0, 96.0], [0, 400.0, 128.0], [0, 0, 1.0]])
         q = random_quat(rng)
         t = rng.normal(size=3)
-        pts = rng.normal(size=(200, 3)) * 2 + np.array([0, 0, 3.0])
+        pts = rng.normal(size=(1000, 3)) * 2 + np.array([0, 0, 3.0])
         return K, q, t, pts
 
     def test_projection_matches_oracle(self, rng):
