@@ -304,6 +304,8 @@ def main():
     ap.add_argument("--nclasses", type=int, default=133)
     ap.add_argument("--no-view-index", action="store_true",
                     help="disable the view-coherent culling index")
+    ap.add_argument("--no-fusion-stat", action="store_true",
+                    help="skip the secondary fusion-engine measurement")
     args = ap.parse_args()
 
     hw = (args.height, args.width)
@@ -388,6 +390,36 @@ def main():
     agree = float(np.mean(np.asarray(classes_s) == classes_o))
     log(f"label agreement vs oracle on {of}-frame workload: {agree:.6f}")
 
+    # secondary: full fusion-engine throughput (dense RGB-D frames -> sparse
+    # cloud + uv2pt, the process3DSeg hot path) on a production-shape session
+    fusion_fps = None
+    if not args.no_fusion_stat:
+        from fusion3dseg_tpu.fusion import fusion as fusion_engine
+        from fusion3dseg_tpu.io import rtab, synthetic
+
+        fsess = synthetic.make_session(nframes=48, depth_hw=(256, 192))
+        sd = rtab.SessionData.from_arrays(
+            fsess.colors, fsess.depth, fsess.K,
+            fsess.quats_wxyz[:, [1, 2, 3, 0]], fsess.translations,
+        )
+        fvalid = (sd.depth > 0.1) & (sd.depth <= 8.0)
+        fargs = (
+            jnp.asarray(sd.Ks, jnp.float32), jnp.asarray(sd.quats_wxyz),
+            jnp.asarray(sd.translations), jnp.asarray(sd.points),
+            jnp.asarray(sd.normals), jnp.asarray(sd.colors),
+            jnp.asarray(sd.depth), jnp.asarray(fvalid),
+        )
+        fkw = dict(height=256, width=192, stride=10, radius=0.05,
+                   min_cosine=float(np.cos(np.deg2rad(10.0))), max_depth=8.0,
+                   capacity=1 << 17)
+        state, _ = fusion_engine.fuse_session(*fargs, **fkw)
+        int(np.asarray(state.n))  # sync (compile run)
+        t0 = time.perf_counter()
+        state, _ = fusion_engine.fuse_session(*fargs, **fkw)
+        int(np.asarray(state.n))
+        fusion_fps = 48 / (time.perf_counter() - t0)
+        log(f"fusion engine: {fusion_fps:.1f} frames/s (256x192, cap 128k)")
+
     result = {
         "metric": "points/sec projected+label-fused (1M-pt cloud, 300 frames)",
         "value": round(tpu_pps, 1),
@@ -403,6 +435,9 @@ def main():
         "view_index": not args.no_view_index,
         "view_index_window_frac": round(M / args.npts, 3),
         "view_index_build_seconds": round(index_build_s, 2),
+        "fusion_engine_frames_per_sec": (
+            round(fusion_fps, 1) if fusion_fps is not None else None
+        ),
     }
     print(json.dumps(result), flush=True)
 

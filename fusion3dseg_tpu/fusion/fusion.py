@@ -129,12 +129,26 @@ def _fuse_frame(
     u, v, z = camera.project_points(state.points, Ks, q, t)
     ok = inter & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
 
-    # 3a. z-buffer sparse points into the coarse candidate grid
-    cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
-    winner = zbuffer.scatter_argmin_by_segment(
-        jnp.where(ok, z, jnp.inf), cell, ncells + 1
-    )
-    cand_of_cell = jnp.where(winner[:ncells] == INT32_MAX, -1, winner[:ncells])
+    # 3a. z-buffer sparse points into the coarse candidate grid. Packed
+    # depth+slot single segment_min (one scatter instead of two — scatters
+    # dominate at capacity ~1M; see ops/zbuffer.zbuffer_uv2pt_packed).
+    # 11-bit depth quantization over max_depth (~5mm at 10m) only affects
+    # which of several VERY close sparse points becomes the cell candidate.
+    id_bits = max(1, (capacity - 1).bit_length())
+    zbits = 31 - id_bits
+    if zbits >= 8:
+        slot32 = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+        zq = jnp.clip(z * ((1 << zbits) / max_depth), 0, (1 << zbits) - 1).astype(jnp.int32)
+        packed = jnp.where(ok, (zq << id_bits) | slot32, INT32_MAX)
+        cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
+        pmin = jax.ops.segment_min(packed, cell, num_segments=ncells + 1)[:ncells]
+        cand_of_cell = jnp.where(pmin == INT32_MAX, -1, pmin & ((1 << id_bits) - 1))
+    else:
+        cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
+        winner = zbuffer.scatter_argmin_by_segment(
+            jnp.where(ok, z, jnp.inf), cell, ncells + 1
+        )
+        cand_of_cell = jnp.where(winner[:ncells] == INT32_MAX, -1, winner[:ncells])
 
     # 3b. every dense pixel gathers candidates from its 3x3 cell neighborhood
     pu = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
