@@ -273,6 +273,58 @@ def fuse_session(
     return state, uv2pt
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "stride", "radius", "min_cosine", "max_depth", "capacity",
+    ),
+)
+def fuse_sessions_batch(
+    Ks, quats_wxyz, translations, points, normals, colors, depth, valid,
+    *, height, width, stride, radius, min_cosine, max_depth, capacity,
+):
+    """Fuse a BATCH of sessions in one program (vmap over the session axis).
+
+    Every array carries a leading session axis: Ks [S,3,3], poses [S,F,...],
+    frame data [S,F,HW,...]. Sessions fuse independently and concurrently —
+    the multi-session scaling axis of BASELINE config 5 (each session's scan
+    runs under vmap; shard the session axis over a mesh for multi-chip).
+    Returns (FusionState with leading S axis, uv2pt [S, F, HW]).
+    """
+    kw = dict(height=height, width=width, stride=stride, radius=radius,
+              min_cosine=min_cosine, max_depth=max_depth, capacity=capacity)
+    return jax.vmap(lambda *a: fuse_session(*a, **kw))(
+        Ks, quats_wxyz, translations, points, normals, colors, depth, valid
+    )
+
+
+def save_state(state: FusionState, directory) -> None:
+    """Checkpoint the fusion state (orbax) — resume interrupted sessions.
+
+    The reference's only checkpointing is whole-stage artifacts (SURVEY.md
+    §5); this adds mid-stage resume for long scans.
+    """
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        Path(directory).absolute() / "fusion_state",
+        {k: np.asarray(v) for k, v in state._asdict().items()},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def load_state(directory) -> FusionState:
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    ckptr = ocp.StandardCheckpointer()
+    d = ckptr.restore(Path(directory).absolute() / "fusion_state")
+    return FusionState(**{k: jnp.asarray(v) for k, v in d.items()})
+
+
 @dataclasses.dataclass
 class Fusion:
     """Session-level fusion driver with the reference's public surface

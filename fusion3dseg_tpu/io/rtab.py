@@ -177,7 +177,9 @@ class SessionData:
                 if caldir.is_dir():
                     calib = read_calibration(sorted(caldir.iterdir())[0])
         if calib is None:
-            raise FileNotFoundError("no calibration yaml found")
+            # fall back to the packaged default (the reference's shipped
+            # intrinsics, RTAB_utils/calibration.yaml)
+            calib = read_calibration(Path(__file__).parent / "default_calibration.yaml")
 
         img_idx, xyz, xyzw, _ = read_poses(pose_file, startf, stopf)
         img_idx, xyz, xyzw = img_idx[::stepf], xyz[::stepf], xyzw[::stepf]

@@ -1,0 +1,112 @@
+"""Multi-session vmapped fusion, state checkpointing, SegmentImage e2e."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fusion3dseg_tpu.fusion import (
+    fuse_session, fuse_sessions_batch, load_state, save_state,
+)
+from fusion3dseg_tpu.io import rtab, synthetic
+
+
+def _session_arrays(seed, F=6, hw=(48, 36)):
+    sess = synthetic.make_session(
+        nframes=F, depth_hw=hw, room=synthetic.RoomSpec(seed=seed)
+    )
+    sd = rtab.SessionData.from_arrays(
+        sess.colors, sess.depth, sess.K,
+        sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+    )
+    valid = (sd.depth > 0.1) & (sd.depth <= 8.0)
+    return (
+        sd.Ks.astype(np.float32), sd.quats_wxyz, sd.translations,
+        sd.points, sd.normals, sd.colors, sd.depth, valid,
+    )
+
+
+KW = dict(height=48, width=36, stride=6, radius=0.1,
+          min_cosine=0.9, max_depth=8.0, capacity=1 << 13)
+
+
+class TestMultiSession:
+    def test_batch_matches_individual(self):
+        a = _session_arrays(1)
+        b = _session_arrays(2)
+        batched = tuple(
+            jnp.stack([jnp.asarray(x), jnp.asarray(y)]) for x, y in zip(a, b)
+        )
+        state_b, uv_b = fuse_sessions_batch(*batched, **KW)
+        for s, args in enumerate((a, b)):
+            state_1, uv_1 = fuse_session(*(jnp.asarray(x) for x in args), **KW)
+            np.testing.assert_array_equal(np.asarray(uv_b)[s], np.asarray(uv_1))
+            assert int(state_b.n[s]) == int(state_1.n)
+            n = int(state_1.n)
+            np.testing.assert_allclose(
+                np.asarray(state_b.points)[s][:n], np.asarray(state_1.points)[:n],
+                atol=1e-6,
+            )
+
+    def test_state_checkpoint_roundtrip(self, tmp_path):
+        args = _session_arrays(3)
+        state, _ = fuse_session(*(jnp.asarray(x) for x in args), **KW)
+        save_state(state, tmp_path)
+        restored = load_state(tmp_path)
+        np.testing.assert_array_equal(np.asarray(state.points), np.asarray(restored.points))
+        assert int(state.n) == int(restored.n)
+
+
+class TestSegmentImageE2E:
+    def test_masks_and_viz_written(self, tmp_path):
+        import cv2
+
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D
+
+        rgb = tmp_path / "rgb"
+        masks = tmp_path / "masks"
+        rgb.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            cv2.imwrite(str(rgb / f"{i}.jpg"),
+                        (rng.random((40, 32, 3)) * 255).astype(np.uint8))
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        seg = Segmenter2D(config=tiny, input_hw=(64, 64))
+        SegmentImage(str(rgb), str(masks), segmenter=seg, batch_size=2)
+        outs = sorted(masks.glob("*.png"))
+        assert len(outs) == 3
+        m = cv2.imread(str(outs[0]), 0)
+        assert m.shape == (40, 32) and m.max() <= 133
+        assert len(list((masks / "viz").glob("*.png"))) == 3
+
+    def test_filter_classes_skips_frames(self, tmp_path):
+        import cv2
+
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D
+
+        rgb = tmp_path / "rgb"
+        masks = tmp_path / "masks"
+        rgb.mkdir()
+        cv2.imwrite(str(rgb / "0.jpg"), np.zeros((32, 32, 3), np.uint8))
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        seg = Segmenter2D(config=tiny, input_hw=(64, 64))
+        # conf_threshold > 1 -> everything class 133 -> no frame contains 5
+        SegmentImage(str(rgb), str(masks), conf_threshold=1.1,
+                     filter_classes=[5], segmenter=seg)
+        assert len(list(masks.glob("*.png"))) == 0
+
+    def test_default_calibration_fallback(self, tmp_path):
+        sess = synthetic.make_session(nframes=3, depth_hw=(32, 24))
+        synthetic.write_session_dir(sess, tmp_path)
+        (tmp_path / "calibration.yaml").unlink()
+        sd = rtab.SessionData.from_export_dir(tmp_path)
+        # packaged default intrinsics (reference fx ~ 798.94)
+        assert abs(sd.K[0, 0] - 798.94) < 1e-6
