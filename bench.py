@@ -24,6 +24,13 @@ from functools import partial
 import numpy as np
 
 
+from fusion3dseg_tpu.ops.label_fuse import (  # noqa: E402
+    build_view_index,
+    tpu_label_fuse,
+    tpu_label_fuse_culled,
+)
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -53,199 +60,6 @@ def make_workload(npts, nframes, hw, seed=0):
     sess = synthetic.make_session(nframes=nframes, depth_hw=hw, room=room)
     masks = sess.gt_mask.reshape(nframes, -1)
     return points, sess.K, sess.quats_wxyz.astype(np.float32), sess.translations.astype(np.float32), masks
-
-
-def build_view_index(points, K, quats, trans, hw, nbuckets=256, subsample=16, pad=3):
-    """View-coherent point index: sort points by azimuth around the
-    trajectory centroid so each frame's visible set is one contiguous slice.
-
-    Standard frustum-culling spatial index, built once per session: a
-    subsample of points is projected into every frame to find the visible
-    azimuth-bucket window (dilated by `pad` buckets); the sorted array is
-    extended by the maximum window length so circular windows become
-    contiguous dynamic slices of a STATIC length M. Slices may include extra
-    (non-visible) points — harmless, they fail the z/bounds test — so the
-    only approximation is a point outside the detected window for some
-    frame, which the dilation makes rare and the benchmark's label-agreement
-    stat monitors.
-
-    Returns (order_ext [N+wrap] original ids, starts [F] int32, M).
-    """
-    c = trans.mean(0)
-    az = np.arctan2(points[:, 2] - c[2], points[:, 0] - c[0])
-    bucket = ((az + np.pi) / (2 * np.pi) * nbuckets).astype(np.int64) % nbuckets
-    order = np.argsort(bucket, kind="stable")
-    bsorted = bucket[order]
-    offsets = np.searchsorted(bsorted, np.arange(nbuckets + 1))
-
-    h, w = hw
-    sub = points[::subsample]
-    sub_bucket = bucket[::subsample]
-    windows = []
-    for f in range(len(quats)):
-        q = quats[f]
-        qc = np.array([q[0], -q[1], -q[2], -q[3]])
-        rel = sub - trans[f]
-        vq = qc[1:]
-        vxp = np.cross(vq, rel)
-        cam = rel + 2.0 * (qc[0] * vxp + np.cross(vq, vxp))
-        z = cam[:, 2]
-        with np.errstate(all="ignore"):
-            u = (K[0, 0] * cam[:, 0] + K[0, 2] * z) / z
-            v = (K[1, 1] * cam[:, 1] + K[1, 2] * z) / z
-        ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-        vis = np.unique(sub_bucket[ok])
-        if len(vis) == 0:
-            windows.append((0, 1))
-            continue
-        present = np.zeros(nbuckets, bool)
-        present[vis] = True
-        idx = np.nonzero(present)[0]
-        gaps = np.diff(np.r_[idx, idx[0] + nbuckets])
-        big = int(np.argmax(gaps))
-        start_b = (int(idx[(big + 1) % len(idx)]) - pad) % nbuckets
-        width_b = min(nbuckets, nbuckets - int(gaps.max()) + 1 + 2 * pad)
-        windows.append((start_b, width_b))
-
-    def window_count(start_b, width_b):
-        end_b = start_b + width_b
-        if end_b <= nbuckets:
-            return offsets[end_b] - offsets[start_b]
-        return (offsets[nbuckets] - offsets[start_b]) + offsets[end_b - nbuckets]
-
-    M = max(window_count(s, wd) for s, wd in windows)
-    M = int(-(-M // 65536) * 65536)  # round up: stable compile shape
-    wrap = min(M, len(points))
-    order_ext = np.concatenate([order, order[:wrap]]).astype(np.int32)
-    starts = np.asarray([offsets[s] for s, _ in windows], np.int32)
-    starts = np.minimum(starts, len(order_ext) - M)
-    return order_ext, starts, M
-
-
-def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
-    """Culled variant of the fused kernel: each frame z-buffers only its
-    view-index slice of M points (see build_view_index). Winner packing uses
-    ORIGINAL point ids, so tie-breaks and vote attribution match the
-    uncull/oracle spec exactly."""
-    import jax
-    import jax.numpy as jnp
-
-    from fusion3dseg_tpu.geometry import camera
-
-    h, w = hw
-    HW = h * w
-    INVALID = 255
-    Z_SCALE = 4096.0 / 10.0
-    ID_BITS = 20
-    assert npts < (1 << ID_BITS)
-
-    @jax.jit
-    def run(points_ext, ids_ext, starts, K, quats, trans, masks):
-        big = jnp.int32(2**31 - 1)
-
-        def step(_, frame):
-            start, q, t, mask = frame
-            pts = jax.lax.dynamic_slice(points_ext, (start, 0), (M, 3))
-            ids = jax.lax.dynamic_slice(ids_ext, (start,), (M,))
-            u, v, z = camera.project_points(pts, K, q, t)
-            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-            pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
-            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
-            pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
-            win_id = pmin & ((1 << ID_BITS) - 1)
-            has = pmin != big
-            cls_row = jnp.full((npts,), INVALID, jnp.uint8)
-            cls_row = cls_row.at[jnp.where(has, win_id, npts)].set(
-                mask.astype(jnp.uint8), mode="drop"
-            )
-            return None, cls_row
-
-        _, C = jax.lax.scan(step, None, (starts, quats, trans, masks))
-        return _histogram_classify(C, nclasses, threshold)
-
-    return run
-
-
-def _histogram_classify(C, nclasses, threshold):
-    """Batched row-sort + run-length histogram of the [F, N] class matrix."""
-    import jax
-    import jax.numpy as jnp
-
-    INVALID = 255
-    S = jnp.sort(C.T, axis=-1)  # [N, F]; INVALID at the end
-    rows_idx = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
-    valid = S != INVALID
-    total = jnp.sum(valid, axis=-1)
-    start = jnp.concatenate(
-        [jnp.ones((S.shape[0], 1), bool), S[:, 1:] != S[:, :-1]], axis=-1
-    )
-    run_start = jax.lax.cummax(jnp.where(start, rows_idx, 0), axis=1)
-    run_len = jnp.where(valid, rows_idx - run_start + 1, 0)
-    vmax = jnp.max(run_len, axis=-1)
-    pos = jnp.argmax(run_len, axis=-1)
-    cls_at = jnp.take_along_axis(S, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
-    confident = (total > 0) & (vmax > 0) & (
-        vmax / jnp.maximum(total, 1) >= threshold
-    )
-    classes = jnp.where(confident, cls_at, nclasses)
-    return (total, vmax), classes
-
-
-def tpu_label_fuse(npts, nclasses, hw, threshold=0.5):
-    """Build the jitted fused label-fusion program.
-
-    TPU-native design: per frame, project + z-buffer-win (one segment_min)
-    and GATHER the winning pixel's mask class per point — emitting a
-    [frames, npts] uint8 class matrix instead of scattering votes. The final
-    histogram/argmax/threshold runs as one batched row-sort + vectorized
-    run-length statistics. Rationale: XLA scatter throughput into a large
-    [npts, nclasses] votes table is ~1M updates/s on TPU (measured), while
-    batched sorts and elementwise scans run at memory bandwidth — this
-    formulation removes every large-table scatter from the hot path.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from fusion3dseg_tpu.geometry import camera
-
-    h, w = hw
-    HW = h * w
-    INVALID = 255  # sorts after every real class id
-    # packed z-buffer entry: 12-bit quantized depth (2.4 mm over 10 m) in the
-    # high bits, 20-bit point id in the low bits -> ONE segment_min yields
-    # both the winning depth and the winning point per pixel, and the winner
-    # extraction happens pixel-side (49k-element ops) instead of per-point
-    # gathers (1M-element random access, the measured XLA bottleneck).
-    Z_SCALE = 4096.0 / 10.0
-    ID_BITS = 20
-    assert npts < (1 << ID_BITS), "packed z-buffer supports < 1M points; shard beyond"
-
-    @jax.jit
-    def run(points, K, quats, trans, masks):
-        ids = jax.lax.broadcasted_iota(jnp.int32, (npts, 1), 0)[:, 0]
-        big = jnp.int32(2**31 - 1)
-
-        def step(_, frame):
-            q, t, mask = frame
-            u, v, z = camera.project_points(points, K, q, t)
-            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-            pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
-            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
-            pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
-            win_id = pmin & ((1 << ID_BITS) - 1)
-            has = pmin != big
-            cls_row = jnp.full((npts,), INVALID, jnp.uint8)
-            cls_row = cls_row.at[jnp.where(has, win_id, npts)].set(
-                mask.astype(jnp.uint8), mode="drop"
-            )
-            return None, cls_row
-
-        _, C = jax.lax.scan(step, None, (quats, trans, masks))  # [F, N]
-        return _histogram_classify(C, nclasses, threshold)
-
-    return run
 
 
 def cpu_label_fuse(points, K, quats, trans, masks, nclasses, hw, threshold=0.5):
@@ -306,6 +120,8 @@ def main():
                     help="disable the view-coherent culling index")
     ap.add_argument("--no-fusion-stat", action="store_true",
                     help="skip the secondary fusion-engine measurement")
+    ap.add_argument("--no-seg2d-stat", action="store_true",
+                    help="skip the secondary 2D-inference measurement")
     args = ap.parse_args()
 
     hw = (args.height, args.width)
@@ -420,6 +236,29 @@ def main():
         fusion_fps = 48 / (time.perf_counter() - t0)
         log(f"fusion engine: {fusion_fps:.1f} frames/s (256x192, cap 128k)")
 
+    # secondary: batched 2D segmentation inference throughput (the model in
+    # the OneFormer slot; BASELINE config 4's streaming-mask producer)
+    seg2d_fps = None
+    if not args.no_seg2d_stat:
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+        seg = Segmenter2D(batch_size=8, input_hw=(512, 512))
+        # device-resident measurement: host<->device staging through the
+        # axon tunnel (~40 MB/s) would otherwise dominate and measure the
+        # test harness's network, not the model
+        batch = jnp.asarray(
+            np.random.default_rng(0).random((8, 512, 512, 3)), jnp.float32
+        )
+        out2d = seg._infer(seg.params, batch, jnp.float32(0.017), 512, 512)
+        _ = np.asarray(out2d[0, 0, 0])  # compile + sync
+        reps = 8
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out2d = seg._infer(seg.params, batch, jnp.float32(0.017), 512, 512)
+        _ = np.asarray(out2d[0, 0, 0])
+        seg2d_fps = 8 * reps / (time.perf_counter() - t0)
+        log(f"2D segmenter (B0 @512^2, bf16, device-resident): {seg2d_fps:.1f} images/s")
+
     result = {
         "metric": "points/sec projected+label-fused (1M-pt cloud, 300 frames)",
         "value": round(tpu_pps, 1),
@@ -437,6 +276,9 @@ def main():
         "view_index_build_seconds": round(index_build_s, 2),
         "fusion_engine_frames_per_sec": (
             round(fusion_fps, 1) if fusion_fps is not None else None
+        ),
+        "seg2d_images_per_sec": (
+            round(seg2d_fps, 1) if seg2d_fps is not None else None
         ),
     }
     print(json.dumps(result), flush=True)
