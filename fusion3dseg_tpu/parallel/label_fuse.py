@@ -1,0 +1,90 @@
+"""Multi-chip session-scale label fusion (shard_map over a Mesh).
+
+Distributes ops/label_fuse.py's pipeline over devices in two axes:
+
+  1. the FRAME axis for the scan (each device z-buffers + class-gathers its
+     frame shard against the replicated point cloud — embarrassingly
+     parallel, zero communication);
+  2. one all_gather of the [F/D, N] u8 winner-class shards over ICI
+     (u8 keeps the collective 4x smaller than votes would be);
+  3. the POINT axis for classification (each device row-sorts and
+     classifies its own N/D slice of the gathered class matrix).
+
+Output classes stay point-sharded — ready for equally-sharded downstream
+consumers (instance split, OBBs) or one final all_gather.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fusion3dseg_tpu.geometry import camera
+from fusion3dseg_tpu.ops.label_fuse import _histogram_classify
+
+
+def label_fuse_sharded(
+    mesh: Mesh,
+    points: jax.Array,  # [N, 3] replicated
+    K: jax.Array,
+    quats: jax.Array,  # [F, 4], F divisible by mesh axis size
+    trans: jax.Array,  # [F, 3]
+    masks: jax.Array,  # [F, H*W] uint8
+    hw: Tuple[int, int],
+    nclasses: int = 133,
+    threshold: float = 0.5,
+    axis: str = "dp",
+) -> jax.Array:
+    """Returns classes [N] sharded over `axis` (same values as the
+    single-chip ops/label_fuse path up to identical spec)."""
+    h, w = hw
+    HW = h * w
+    npts = points.shape[0]
+    ndev = mesh.shape[axis]
+    assert npts % ndev == 0, f"npts {npts} % {ndev} devices != 0"
+    Z_SCALE = 4096.0 / 10.0
+    ID_BITS = 20
+    assert npts < (1 << ID_BITS)
+
+    def local(points_l, K_l, quats_l, trans_l, masks_l):
+        big = jnp.int32(2**31 - 1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (npts, 1), 0)[:, 0]
+
+        def step(_, frame):
+            q, t, mask = frame
+            u, v, z = camera.project_points(points_l, K_l, q, t)
+            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            pix = jnp.where(ok, v * w + u, HW)
+            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
+            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
+            pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
+            win_id = pmin & ((1 << ID_BITS) - 1)
+            has = pmin != big
+            row = jnp.full((npts,), 255, jnp.uint8)
+            row = row.at[jnp.where(has, win_id, npts)].set(
+                mask.astype(jnp.uint8), mode="drop"
+            )
+            return None, row
+
+        _, C_local = jax.lax.scan(step, None, (quats_l, trans_l, masks_l))
+        # frames all-gather over ICI -> full [F, N] on every device
+        C = jax.lax.all_gather(C_local, axis, axis=0, tiled=True)
+        # classify only this device's point slice
+        rank = jax.lax.axis_index(axis)
+        slice_n = npts // ndev
+        C_pts = jax.lax.dynamic_slice(C, (0, rank * slice_n), (C.shape[0], slice_n))
+        _, classes = _histogram_classify(C_pts, nclasses, threshold)
+        return classes
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(points, K, quats, trans, masks)

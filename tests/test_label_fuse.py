@@ -1,0 +1,79 @@
+"""Session-scale label fusion: shipped kernels + sharded variant parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fusion3dseg_tpu.ops import label_fuse
+from fusion3dseg_tpu.parallel import sharding
+from fusion3dseg_tpu.parallel.label_fuse import label_fuse_sharded
+
+
+def _workload(rng, N=800, F=16, hw=(32, 24)):
+    pts = (rng.normal(size=(N, 3)) + [0, 0, 3.0]).astype(np.float32)
+    K = np.array([[20.0, 0, 12], [0, 20.0, 16], [0, 0, 1]], np.float32)
+    quats = np.tile([1.0, 0, 0, 0], (F, 1)).astype(np.float32)
+    trans = (rng.normal(size=(F, 3)) * 0.1).astype(np.float32)
+    masks = rng.integers(0, 10, (F, hw[0] * hw[1])).astype(np.uint8)
+    return pts, K, quats, trans, masks
+
+
+class TestLabelFuse:
+    def test_full_matches_oracle_spec(self, rng):
+        import bench  # the oracle lives beside the bench driver
+
+        hw = (32, 24)
+        pts, K, quats, trans, masks = _workload(rng, hw=hw)
+        run = label_fuse.tpu_label_fuse(len(pts), 10, hw)
+        _, classes = run(
+            jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
+            jnp.asarray(trans), jnp.asarray(masks),
+        )
+        _, oracle_classes = bench.cpu_label_fuse(
+            pts, K.astype(np.float64), quats, trans, masks, 10, hw
+        )
+        # tiny workload -> few votes/point, so f32-vs-f64 floor flips move
+        # single votes; large-scale agreement (>=99.99%) is asserted by
+        # bench.py on the 1M-pt config
+        agree = (np.asarray(classes) == oracle_classes).mean()
+        assert agree > 0.97, agree
+
+    def test_culled_matches_full(self, rng):
+        hw = (32, 24)
+        pts, K, quats, trans, masks = _workload(rng, N=2000, F=8, hw=hw)
+        # circularize the trajectory so the view index is meaningful
+        ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        trans = np.stack([np.cos(ang) * 0.2, np.zeros(8), np.sin(ang) * 0.2], -1).astype(np.float32)
+        run_full = label_fuse.tpu_label_fuse(len(pts), 10, hw)
+        _, c_full = run_full(
+            jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
+            jnp.asarray(trans), jnp.asarray(masks),
+        )
+        order_ext, starts, M = label_fuse.build_view_index(
+            pts, K, quats, trans, hw, subsample=1, pad=8
+        )
+        run_culled = label_fuse.tpu_label_fuse_culled(len(pts), 10, hw, M)
+        _, c_culled = run_culled(
+            jnp.asarray(pts[order_ext]), jnp.asarray(order_ext, jnp.int32),
+            jnp.asarray(starts), jnp.asarray(K), jnp.asarray(quats),
+            jnp.asarray(trans), jnp.asarray(masks),
+        )
+        agree = (np.asarray(c_full) == np.asarray(c_culled)).mean()
+        assert agree > 0.999, agree
+
+    def test_sharded_matches_single_chip(self, rng):
+        mesh = sharding.make_mesh(8, tp=1)
+        hw = (32, 24)
+        pts, K, quats, trans, masks = _workload(rng, hw=hw)
+        classes_sh = np.asarray(
+            label_fuse_sharded(
+                mesh, jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
+                jnp.asarray(trans), jnp.asarray(masks), hw, nclasses=10,
+            )
+        )
+        run = label_fuse.tpu_label_fuse(len(pts), 10, hw)
+        _, classes_1 = run(
+            jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
+            jnp.asarray(trans), jnp.asarray(masks),
+        )
+        np.testing.assert_array_equal(classes_sh, np.asarray(classes_1))
