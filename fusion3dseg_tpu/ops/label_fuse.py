@@ -78,6 +78,7 @@ def build_view_index(points, K, quats, trans, hw, nbuckets=512, subsample=16, pa
 
     M = max(window_count(s, wd) for s, wd in windows)
     M = int(-(-M // 32768) * 32768)  # round up: stable compile shape
+    M = min(M, len(points))  # a window can never exceed the cloud itself
     wrap = min(M, len(points))
     order_ext = np.concatenate([order, order[:wrap]]).astype(np.int32)
     starts = np.asarray([offsets[s] for s, _ in windows], np.int32)
