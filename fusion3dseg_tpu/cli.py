@@ -18,7 +18,6 @@ This exposes every stage as a subcommand over the typed configs:
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def main(argv=None):
@@ -67,6 +66,18 @@ def main(argv=None):
     s = sub.add_parser("doorwindow", help="door/window rectangle meshes")
     s.add_argument("session_dir")
     s.add_argument("--proxy-mesh", default=None)
+
+    s = sub.add_parser("refine", help="grow an instance by depth/color flood fill")
+    s.add_argument("session_dir")
+    s.add_argument("seed_point", type=int, help="point index (batch replacement for interactive picking)")
+    s.add_argument("--mode", choices=["depth", "color"], default="depth")
+    s.add_argument("--threshold", type=float, default=None)
+    s.add_argument("--max-level", type=int, default=50)
+    s.add_argument("--wall-point", type=float, nargs=3, default=None)
+    s.add_argument("--wall-normal", type=float, nargs=3, default=None)
+    s.add_argument("--radius", type=float, default=0.1, help="adjacency radius")
+    s.add_argument("--from-point", action="store_true",
+                   help="grow from the single seed instead of its whole instance")
 
     s = sub.add_parser("synth", help="generate a synthetic test session")
     s.add_argument("out_dir")
@@ -147,6 +158,34 @@ def main(argv=None):
 
         tri_ids, _, _ = generate_mesh(args.session_dir, proxy_mesh=args.proxy_mesh)
         print(f"{len(tri_ids) // 2} door/window quads")
+
+    elif args.cmd == "refine":
+        import numpy as np
+
+        from fusion3dseg_tpu.io import artifacts, native
+        from fusion3dseg_tpu.pipeline import refinement
+
+        pts, _, colors, *_ = artifacts.load_fusion_data(args.session_dir)
+        adj = native.radius_graph(np.asarray(pts, np.float32), args.radius, k=16)
+        if args.mode == "depth":
+            if args.wall_point is None or args.wall_normal is None:
+                raise SystemExit("depth mode needs --wall-point and --wall-normal")
+            ids, grown = refinement.depth_floodfill(
+                args.session_dir, adj, args.seed_point,
+                np.asarray(args.wall_point), np.asarray(args.wall_normal),
+                depth_threshold=args.threshold or 0.03,
+                max_level=args.max_level,
+                grow_from_instance=not args.from_point,
+            )
+        else:
+            ids, grown = refinement.color_floodfill(
+                args.session_dir, adj, args.seed_point,
+                np.asarray(colors) if colors is not None else np.zeros_like(pts),
+                color_threshold=args.threshold or 0.1,
+                max_level=args.max_level,
+                grow_from_instance=not args.from_point,
+            )
+        print(f"grew {int(grown.sum())} points; wrote cv_segmentation/")
 
     elif args.cmd == "synth":
         from fusion3dseg_tpu.io import synthetic

@@ -26,7 +26,7 @@ jax.sharding Mesh — see parallel/sharding.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

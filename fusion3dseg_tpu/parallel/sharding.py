@@ -11,7 +11,6 @@ insert collectives).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn

@@ -16,12 +16,11 @@ decompositions of the vote scatter over a jax.sharding Mesh:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from fusion3dseg_tpu.ops import voting as voting_ops

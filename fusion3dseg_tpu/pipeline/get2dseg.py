@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fusion3dseg_tpu.models import SegFormer, SegFormerConfig, create_model
+from fusion3dseg_tpu.models import SegFormerConfig, create_model
 from fusion3dseg_tpu.utils import palette as pal
 from fusion3dseg_tpu.utils import timing
 

@@ -17,7 +17,6 @@ per-instance open3d objects (reference get3DSeg.py:424-448).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional, Sequence
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import List, Sequence
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ picking; any UI can layer on top).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 
