@@ -88,3 +88,83 @@ def label_fuse_sharded(
         check_vma=False,
     )
     return fn(points, K, quats, trans, masks)
+
+
+def label_fuse_sharded_points(
+    mesh: Mesh,
+    points: jax.Array,  # [N, 3], N divisible by mesh axis; shard may be ≤ 2^20
+    K: jax.Array,
+    quats: jax.Array,  # [F, 4]
+    trans: jax.Array,  # [F, 3]
+    masks: jax.Array,  # [F, H*W] uint8
+    hw: Tuple[int, int],
+    nclasses: int = 133,
+    threshold: float = 0.5,
+    axis: str = "dp",
+) -> jax.Array:
+    """Point-sharded label fusion for clouds beyond one device (the 10M-pt
+    BASELINE config-5 axis; also lifts the 2^20 packed-id limit to
+    2^20 * n_devices).
+
+    Per frame each device z-buffers ITS point shard into a local packed
+    [H*W] buffer; one `pmin` collective over ICI merges them into the global
+    z-buffer (exact global occlusion); each device then keeps the winning
+    classes of its own points. Poses/masks replicated; classes returned
+    point-sharded over `axis`.
+
+    Cross-device depth ties resolve by (quantized z, device-local id) —
+    deterministic, documented deviation from the single-chip global-min-id
+    tie-break (ties require exactly equal 2.4 mm-quantized depth).
+    """
+    h, w = hw
+    HW = h * w
+    npts = points.shape[0]
+    ndev = mesh.shape[axis]
+    assert npts % ndev == 0
+    local_n = npts // ndev
+    assert local_n < (1 << 20)
+    Z_SCALE = 4096.0 / 10.0
+    ID_BITS = 20
+
+    def local(points_l, K_l, quats_l, trans_l, masks_l):
+        big = jnp.int32(2**31 - 1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (local_n, 1), 0)[:, 0]
+
+        def step(_, frame):
+            q, t, mask = frame
+            u, v, z = camera.project_points(points_l, K_l, q, t)
+            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            pix = jnp.where(ok, v * w + u, HW)
+            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
+            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
+            pmin_local = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
+            # global z-buffer: elementwise min across devices over ICI
+            pmin = jax.lax.pmin(pmin_local, axis)
+            # this device's points win where the global winner came from it;
+            # identical packed values on two devices (same quantized z, same
+            # local id) resolve to the lowest rank so exactly one claims
+            owner = (pmin == pmin_local) & (pmin != big)
+            rank = jax.lax.axis_index(axis)
+            first_owner = jax.lax.pmin(
+                jnp.where(owner, rank, ndev).astype(jnp.int32), axis
+            )
+            mine = owner & (rank == first_owner)
+            win_id = pmin & ((1 << ID_BITS) - 1)
+            row = jnp.full((local_n,), 255, jnp.uint8)
+            row = row.at[jnp.where(mine, win_id, local_n)].set(
+                mask.astype(jnp.uint8), mode="drop"
+            )
+            return None, row
+
+        _, C_local = jax.lax.scan(step, None, (quats_l, trans_l, masks_l))
+        _, classes = _histogram_classify(C_local, nclasses, threshold)
+        return classes
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(points, K, quats, trans, masks)

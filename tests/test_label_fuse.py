@@ -6,7 +6,10 @@ import pytest
 
 from fusion3dseg_tpu.ops import label_fuse
 from fusion3dseg_tpu.parallel import sharding
-from fusion3dseg_tpu.parallel.label_fuse import label_fuse_sharded
+from fusion3dseg_tpu.parallel.label_fuse import (
+    label_fuse_sharded,
+    label_fuse_sharded_points,
+)
 
 
 def _workload(rng, N=800, F=16, hw=(32, 24)):
@@ -67,6 +70,24 @@ class TestLabelFuse:
         pts, K, quats, trans, masks = _workload(rng, hw=hw)
         classes_sh = np.asarray(
             label_fuse_sharded(
+                mesh, jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
+                jnp.asarray(trans), jnp.asarray(masks), hw, nclasses=10,
+            )
+        )
+        run = label_fuse.tpu_label_fuse(len(pts), 10, hw)
+        _, classes_1 = run(
+            jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
+            jnp.asarray(trans), jnp.asarray(masks),
+        )
+        np.testing.assert_array_equal(classes_sh, np.asarray(classes_1))
+
+    def test_point_sharded_matches_single_chip(self, rng):
+        # the >1M-point scaling axis: per-device z-buffers merged by pmin
+        mesh = sharding.make_mesh(8, tp=1)
+        hw = (32, 24)
+        pts, K, quats, trans, masks = _workload(rng, hw=hw)
+        classes_sh = np.asarray(
+            label_fuse_sharded_points(
                 mesh, jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
                 jnp.asarray(trans), jnp.asarray(masks), hw, nclasses=10,
             )
