@@ -263,5 +263,8 @@ def create_model(
         rng = jax.random.PRNGKey(rng)
     model = SegFormer(config)
     dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)
-    params = model.init(rng, dummy)["params"]
+    # unbox nn.Partitioned wrappers: plain arrays for inference/checkpoints
+    # (parallel/sharding.py re-derives the logical specs from a boxed
+    # eval_shape trace when sharding for training)
+    params = nn.meta.unbox(model.init(rng, dummy)["params"])
     return model, params
