@@ -49,9 +49,25 @@ class Segmenter2D:
         self.config = config
         self.input_hw = tuple(input_hw)
         self.batch_size = batch_size
-        self.model, self.params = create_model(config, seed, self.input_hw)
         if checkpoint_dir is not None:
-            self.params = load_checkpoint(checkpoint_dir, self.params)
+            # restoring: never materialize random weights — an eval_shape
+            # trace provides the template without compiling/running init
+            # (a full device init costs minutes through the axon tunnel)
+            import flax.linen as nn
+            from fusion3dseg_tpu.models import SegFormer
+
+            self.model = SegFormer(config)
+            shapes = nn.meta.unbox(
+                jax.eval_shape(
+                    lambda k: self.model.init(
+                        k, jnp.zeros((1, *self.input_hw, 3), jnp.float32)
+                    ),
+                    jax.random.PRNGKey(seed),
+                )["params"]
+            )
+            self.params = load_checkpoint(checkpoint_dir, shapes)
+        else:
+            self.model, self.params = create_model(config, seed, self.input_hw)
 
         @partial(jax.jit, static_argnames=("out_h", "out_w"))
         def _infer(params, images, conf_threshold, out_h, out_w):

@@ -103,6 +103,25 @@ class TestSegmentImageE2E:
                      filter_classes=[5], segmenter=seg)
         assert len(list(masks.glob("*.png"))) == 0
 
+    def test_checkpoint_save_restore_via_segmenter(self, tmp_path):
+        import jax.numpy as jnp
+
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D, save_checkpoint
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        seg1 = Segmenter2D(config=tiny, input_hw=(64, 64))
+        save_checkpoint(tmp_path / "ckpt", seg1.params)
+        seg2 = Segmenter2D(config=tiny, checkpoint_dir=tmp_path / "ckpt",
+                           input_hw=(64, 64))
+        img = (np.random.default_rng(0).random((1, 64, 64, 3)) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(
+            seg1.predict_batch(img, 0.0), seg2.predict_batch(img, 0.0)
+        )
+
     def test_default_calibration_fallback(self, tmp_path):
         sess = synthetic.make_session(nframes=3, depth_hw=(32, 24))
         synthetic.write_session_dir(sess, tmp_path)
