@@ -121,6 +121,8 @@ def main():
                     help="skip the secondary fusion-engine measurement")
     ap.add_argument("--no-seg2d-stat", action="store_true",
                     help="skip the secondary 2D-inference measurement")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed run")
     args = ap.parse_args()
 
     hw = (args.height, args.width)
@@ -172,6 +174,14 @@ def main():
     votes_d, classes_d = run(*dev)
     sync(classes_d)
     log(f"first run (incl compile): {time.perf_counter() - t0:.2f}s")
+
+    if args.profile:
+        from fusion3dseg_tpu.utils.timing import tpu_trace
+
+        with tpu_trace(args.profile):
+            votes_d, classes_d = run(*dev)
+            sync(classes_d)
+        log(f"profiler trace written to {args.profile}")
 
     best = np.inf
     for i in range(args.repeat):

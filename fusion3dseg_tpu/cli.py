@@ -27,6 +27,7 @@ def main(argv=None):
     s = sub.add_parser("seg2d", help="2D semantic segmentation of RGB frames")
     s.add_argument("input_dir")
     s.add_argument("output_dir")
+    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b0")
     s.add_argument("--extension", default="jpg")
     s.add_argument("--conf-threshold", type=float, default=0.017)
     s.add_argument("--checkpoint", default=None)
@@ -94,6 +95,7 @@ def main(argv=None):
     s.add_argument("--rgb-dir", default=None)
     s.add_argument("--mask-dir", default=None)
     s.add_argument("--input-size", type=int, default=256)
+    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b0")
 
     s = sub.add_parser("all", help="full pipeline: ingest -> seg2d -> fuse -> seg3d")
     s.add_argument("export_dir")
@@ -105,9 +107,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cmd == "seg2d":
+        from fusion3dseg_tpu.models import SegFormerConfig
         from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D
 
-        seg = Segmenter2D(checkpoint_dir=args.checkpoint, batch_size=args.batch_size)
+        seg = Segmenter2D(
+            config=SegFormerConfig.named(args.model),
+            checkpoint_dir=args.checkpoint, batch_size=args.batch_size,
+        )
         SegmentImage(
             args.input_dir, args.output_dir, extension=args.extension,
             conf_threshold=args.conf_threshold, segmenter=seg,
@@ -200,7 +206,10 @@ def main(argv=None):
     elif args.cmd == "train":
         from fusion3dseg_tpu.models.train import TrainConfig, train, directory_dataset
 
+        from fusion3dseg_tpu.models import SegFormerConfig
+
         cfg = TrainConfig(
+            model=SegFormerConfig.named(args.model),
             steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
             checkpoint_dir=args.checkpoint_dir,
             input_hw=(args.input_size, args.input_size),

@@ -59,6 +59,16 @@ class SegFormerConfig:
     use_pallas_attention: bool = False
 
     @staticmethod
+    def b1() -> "SegFormerConfig":
+        """MiT-B1-scale config."""
+        return SegFormerConfig(
+            embed_dims=(64, 128, 320, 512),
+            depths=(2, 2, 2, 2),
+            num_heads=(1, 2, 5, 8),
+            decoder_dim=256,
+        )
+
+    @staticmethod
     def b2() -> "SegFormerConfig":
         """MiT-B2-scale config (the production-size flagship)."""
         return SegFormerConfig(
@@ -67,6 +77,13 @@ class SegFormerConfig:
             num_heads=(1, 2, 5, 8),
             decoder_dim=768,
         )
+
+    @staticmethod
+    def named(name: str) -> "SegFormerConfig":
+        """'b0' | 'b1' | 'b2' preset lookup (CLI --model)."""
+        if name == "b0":
+            return SegFormerConfig()
+        return getattr(SegFormerConfig, name)()
 
 
 def _dense(features, dtype, name=None, kernel_axes=(None, None)):
