@@ -402,6 +402,15 @@ class Fusion:
             capacity=self.capacity,
         )
         n = int(state.n)
+        if n >= self.capacity:
+            import warnings
+
+            warnings.warn(
+                f"fusion buffer saturated at capacity={self.capacity}; "
+                "points beyond it were dropped — rerun with a larger "
+                "Fusion(capacity=...)",
+                RuntimeWarning,
+            )
         if verbose:
             print(f"fused {len(sel)} frames into {n} sparse points")
 

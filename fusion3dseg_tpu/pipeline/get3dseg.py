@@ -65,6 +65,12 @@ def vote_session(
     mask_files, uv2pt_files = artifacts.matched_mask_uv2pt_files(
         mask_dir, Path(dirname) / "fusion" / "uv2pt"
     )
+    if not mask_files:
+        raise FileNotFoundError(
+            f"no mask/uv2pt stem matches between {mask_dir} and "
+            f"{Path(dirname) / 'fusion' / 'uv2pt'} — did the fusion stage run, "
+            "and do mask filenames match frame numbers?"
+        )
     if verbose:
         print(f"voting over {len(mask_files)} frames ...")
     masks = _read_masks_resized(mask_files, depth_hw)

@@ -103,6 +103,31 @@ class TestSegmentImageE2E:
                      filter_classes=[5], segmenter=seg)
         assert len(list(masks.glob("*.png"))) == 0
 
+    def test_capacity_saturation_warns(self):
+        import warnings as w
+
+        from fusion3dseg_tpu.fusion import Fusion
+
+        sess = synthetic.make_session(nframes=4, depth_hw=(48, 36))
+        sd = rtab.SessionData.from_arrays(
+            sess.colors, sess.depth, sess.K,
+            sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+        )
+        f = Fusion(sd, point_range=(0.1, 8.0), capacity=64)  # absurdly small
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            f.fuse(radius=0.1, angle=20, stride=6, max_depth=8.0)
+        assert any("saturated" in str(c.message) for c in caught)
+
+    def test_vote_session_no_masks_clear_error(self, tmp_path):
+        from fusion3dseg_tpu.pipeline import get3dseg
+
+        (tmp_path / "fusion" / "uv2pt").mkdir(parents=True)
+        empty_masks = tmp_path / "masks"
+        empty_masks.mkdir()
+        with pytest.raises(FileNotFoundError, match="stem matches"):
+            get3dseg.vote_session(tmp_path, empty_masks, 10, (4, 4), 10)
+
     def test_checkpoint_save_restore_via_segmenter(self, tmp_path):
         import jax.numpy as jnp
 
