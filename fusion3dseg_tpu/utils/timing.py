@@ -70,7 +70,17 @@ def tpu_trace(logdir: Optional[str]):
 
 
 def block_until_ready(tree):
-    """Convenience: sync a pytree of device arrays (for honest span timing)."""
-    import jax
+    """Sync a pytree of device arrays (for honest span timing).
 
-    return jax.block_until_ready(tree)
+    jax.block_until_ready does NOT actually block on the axon TPU platform
+    (docs/DESIGN.md), so this forces a one-element host transfer per leaf —
+    the only reliable sync there, and harmless elsewhere.
+    """
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(tree)
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(leaf.ravel()[-1:])
+    return tree

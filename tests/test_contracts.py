@@ -133,6 +133,37 @@ class TestArtifactContracts:
             pts, colors, _ = ply.read_point_cloud(work / rel)
             assert pts.dtype == np.float32 and colors is not None
 
+    def test_taxonomy_csv_roundtrip(self, tmp_path):
+        from fusion3dseg_tpu.pipeline.get3dseg import load_csv
+        from fusion3dseg_tpu.utils import taxonomy as tax
+
+        t = tax.Taxonomy()
+        t.to_csv(tmp_path / "classes.csv")
+        t2 = tax.Taxonomy.from_csv(tmp_path / "classes.csv")
+        assert t2.parent_ids == t.parent_ids
+        assert t2.flag_objremoval == t.flag_objremoval
+        # the reference load_csv 5-tuple contract (get3DSeg.py:357-367)
+        class_id, parent_name, parent_id, flag_infojson, building = load_csv(
+            tmp_path / "classes.csv"
+        )
+        assert class_id == list(range(133))
+        assert len(parent_name) == 133 and len(parent_id) == 133
+        # doors/windows/walls are building classes (kept by remove_classes)
+        assert 86 in building and 114 in building and 131 in building
+        # couch/tv are removable objects
+        assert 57 not in building and 62 not in building
+
+    def test_load_semantic_segmentation(self, run_dirs):
+        from fusion3dseg_tpu.pipeline.get3dseg import load_semantic_segmentation
+
+        _, work = run_dirs
+        votes, classes, classes2, uniq, info = load_semantic_segmentation(
+            work / "segmentation"
+        )
+        assert votes.shape[0] == classes.shape[0]
+        assert set(uniq.tolist()) == set(np.unique(classes).tolist())
+        assert isinstance(info, list) and info
+
     def test_votes_warm_start(self, run_dirs):
         # votes.npy warm start (reference voting.py:30-40, get3DSeg.py:158-165)
         out, work = run_dirs
