@@ -76,13 +76,15 @@ def build_view_index(points, K, quats, trans, hw, nbuckets=512, subsample=16, pa
             return offsets[end_b] - offsets[start_b]
         return (offsets[nbuckets] - offsets[start_b]) + offsets[end_b - nbuckets]
 
-    M = max(window_count(s, wd) for s, wd in windows)
+    counts = np.asarray([window_count(s, wd) for s, wd in windows])
+    M = int(counts.max())
     M = int(-(-M // 32768) * 32768)  # round up: stable compile shape
     M = min(M, len(points))  # a window can never exceed the cloud itself
     wrap = min(M, len(points))
     order_ext = np.concatenate([order, order[:wrap]]).astype(np.int32)
     starts = np.asarray([offsets[s] for s, _ in windows], np.int32)
     starts = np.minimum(starts, len(order_ext) - M)
+    build_view_index.last_window_counts = counts  # diagnostic
     return order_ext, starts, M
 
 
