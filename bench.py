@@ -27,6 +27,7 @@ from fusion3dseg_tpu.ops.label_fuse import (  # noqa: E402
     build_view_index,
     tpu_label_fuse,
     tpu_label_fuse_culled,
+    tpu_label_fuse_culled_big,
 )
 
 
@@ -82,18 +83,20 @@ def cpu_label_fuse(points, K, quats, trans, masks, nclasses, hw, threshold=0.5):
         z = cam[:, 2]
         ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
         pix = v[ok] * w + u[ok]
-        # z-buffer SPEC shared with the TPU path: nearest wins at 2.4 mm
-        # depth resolution (12-bit quantized z), ties -> lowest point index.
+        # z-buffer SPEC shared with the TPU path: nearest wins at 4.9 mm
+        # depth resolution (11-bit quantized z; the sign bit of the int32
+        # packing must stay clear), ties -> lowest point index.
         # (The reference has no z-buffer at all — last write wins arbitrarily,
         # fusion.py:296-298 — so the depth-resolution of the occlusion rule is
         # this framework's choice; both implementations follow it exactly.)
-        zq = np.clip(z[ok] * (4096.0 / 10.0), 0, 4095).astype(np.int64)
-        packed = (zq << 20) | ids[ok]
+        zq = np.clip(z[ok] * (2048.0 / 10.0), 0, 2047).astype(np.int64)
+        id_bits = max(20, int(np.ceil(np.log2(max(npts, 2)))))
+        packed = (zq << id_bits) | ids[ok]
         buf = np.full(h * w, np.iinfo(np.int64).max)
         np.minimum.at(buf, pix, packed)
         got = buf != np.iinfo(np.int64).max
         uv2pt = np.full(h * w, -1, np.int64)
-        uv2pt[got] = buf[got] & ((1 << 20) - 1)
+        uv2pt[got] = buf[got] & ((1 << id_bits) - 1)
         # reference vote: duplicate-collapsing fancy-index += (voting.py:98)
         valid = uv2pt >= 0
         votes[uv2pt[valid], masks[f][valid]] += 1
@@ -165,11 +168,17 @@ def main():
         M = args.npts
     else:
         t0 = time.perf_counter()
-        order_ext, starts, M = build_view_index(points, K, quats, trans, hw)
+        round_to = 32768 if args.npts < (1 << 20) else (1 << 20)
+        order_ext, starts, M = build_view_index(
+            points, K, quats, trans, hw, round_to=round_to
+        )
         index_build_s = time.perf_counter() - t0
         log(f"view index: window M={M} ({M / args.npts:.2f} of N), "
             f"built in {index_build_s:.2f}s")
-        run_culled = tpu_label_fuse_culled(args.npts, args.nclasses, hw, M)
+        if args.npts < (1 << 20):
+            run_culled = tpu_label_fuse_culled(args.npts, args.nclasses, hw, M)
+        else:
+            run_culled = tpu_label_fuse_culled_big(args.npts, args.nclasses, hw, M)
         points_ext = jnp.asarray(points[order_ext])
         ids_ext = jnp.asarray(order_ext, jnp.int32)
         starts_all = np.asarray(starts, np.int32)

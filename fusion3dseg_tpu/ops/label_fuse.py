@@ -8,7 +8,7 @@ batched row-sort histogram classification — no large-table scatters anywhere
 only ~0.3N points. bench.py drives exactly these functions.
 
 Semantics: per frame, each point wins at most its nearest-visible pixel
-(z-buffer spec: nearest at max_depth/2^12 resolution, ties -> lowest id) and
+(z-buffer spec: nearest at max_depth/2^11 resolution, ties -> lowest id) and
 receives that pixel's mask class as one vote; classification is the
 reference's thresholded argmax (voting.py:106-137).
 """
@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def build_view_index(points, K, quats, trans, hw, nbuckets=512, subsample=16, pad=3):
+def build_view_index(points, K, quats, trans, hw, nbuckets=512, subsample=16, pad=3,
+                     round_to=32768):
     """View-coherent point index: sort points by azimuth around the
     trajectory centroid so each frame's visible set is one contiguous slice.
 
@@ -78,10 +79,16 @@ def build_view_index(points, K, quats, trans, hw, nbuckets=512, subsample=16, pa
 
     counts = np.asarray([window_count(s, wd) for s, wd in windows])
     M = int(counts.max())
-    M = int(-(-M // 32768) * 32768)  # round up: stable compile shape
-    M = min(M, len(points))  # a window can never exceed the cloud itself
-    wrap = min(M, len(points))
-    order_ext = np.concatenate([order, order[:wrap]]).astype(np.int32)
+    n = len(points)
+    M = int(-(-M // round_to) * round_to)  # round up: stable compile shape
+    # cap near the cloud size, preserving the sub-slice constraint
+    # M % round_to == 0 required by the big-N kernel
+    M = min(M, int(-(-n // round_to) * round_to))
+    # extend the sorted order so every circular window is a contiguous slice
+    # and slices of length M stay in bounds even when M > n (tiny clouds
+    # rounded up): duplicated entries are harmless candidates
+    reps = -(-(M + n) // n)
+    order_ext = np.tile(order, reps)[: max(n + min(M, n), M)].astype(np.int32)
     starts = np.asarray([offsets[s] for s, _ in windows], np.int32)
     starts = np.minimum(starts, len(order_ext) - M)
     build_view_index.last_window_counts = counts  # diagnostic
@@ -103,8 +110,9 @@ def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
     h, w = hw
     HW = h * w
     INVALID = 255
-    Z_SCALE = 4096.0 / 10.0
     ID_BITS = 20
+    Z_BITS = 31 - ID_BITS  # sign bit must stay clear in the int32 packing
+    Z_SCALE = float(1 << Z_BITS) / 10.0
     assert npts < (1 << ID_BITS)
 
     @jax.jit
@@ -118,7 +126,7 @@ def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
             u, v, z = camera.project_points(pts, K, q, t)
             ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
             pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
+            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
             packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
             pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
             win_id = pmin & ((1 << ID_BITS) - 1)
@@ -135,6 +143,78 @@ def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
     return run
 
 
+
+
+def tpu_label_fuse_culled_big(npts, nclasses, hw, M, threshold=0.5,
+                              shard_bits=20, z_bits=None):
+    """Culled kernel for clouds beyond the 2^20 packed-id limit (single chip).
+
+    The per-frame window slice of M points (M may exceed 2^20) is processed
+    as ceil(M / 2^shard_bits) sub-slices: each sub-slice runs its own packed
+    segment_min z-buffer, and the [SUB, H*W] partial buffers combine
+    pixel-side (min over SUB, first-sub tie-break). The winning global point
+    id comes from one [H*W]-sized gather into the window's id slice, and the
+    winner-class row scatters into the global [npts] u8 row as usual.
+
+    This is the single-chip 10M-point path (BASELINE config 5's scale; the
+    multi-chip variant is parallel/label_fuse.label_fuse_sharded_points).
+    Requires M % 2^shard_bits == 0 (pass round_to=2^shard_bits to
+    build_view_index). Depth ties resolve by slice position (azimuth order)
+    instead of the 2^20-id kernels' global-id rule — a documented deviation
+    that only matters for points at exactly equal quantized depth in the
+    same pixel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fusion3dseg_tpu.geometry import camera
+
+    h, w = hw
+    HW = h * w
+    INVALID = 255
+    # default to the same 11-bit depth spec as the 2^20-id kernels so
+    # results are comparable across kernels; must fit 31 - shard_bits
+    Z_BITS = min(z_bits if z_bits is not None else 11, 31 - shard_bits)
+    Z_SCALE = float(1 << Z_BITS) / 10.0
+    NS = 1 << shard_bits
+    assert M % NS == 0, f"M={M} must be a multiple of 2^{shard_bits}"
+    SUB = M // NS
+
+    @jax.jit
+    def run(points_ext, ids_ext, starts, K, quats, trans, masks):
+        big = jnp.int32(2**31 - 1)
+
+        def step(_, frame):
+            start, q, t, mask = frame
+            pts = jax.lax.dynamic_slice(points_ext, (start, 0), (M, 3))
+            ids = jax.lax.dynamic_slice(ids_ext, (start,), (M,))
+            u, v, z = camera.project_points(pts, K, q, t)
+            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            pix = jnp.where(ok, v * w + u, HW).reshape(SUB, NS)
+            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
+            local = jax.lax.broadcasted_iota(jnp.int32, (SUB, NS), 1)
+            packed = jnp.where(
+                ok.reshape(SUB, NS), (zq.reshape(SUB, NS) << shard_bits) | local, big
+            )
+            pmin_sub = jax.vmap(
+                lambda p, s: jax.ops.segment_min(p, s, num_segments=HW + 1)
+            )(packed, pix)[:, :HW]  # [SUB, HW]
+            win_sub = jnp.argmin(pmin_sub, axis=0)  # first min: sub tie-break
+            pmin = jnp.min(pmin_sub, axis=0)
+            has = pmin != big
+            win_local = pmin & (NS - 1)
+            win_pos = win_sub * NS + win_local  # position within the slice
+            win_gid = ids[jnp.clip(win_pos, 0, M - 1)]
+            cls_row = jnp.full((npts,), INVALID, jnp.uint8)
+            cls_row = cls_row.at[jnp.where(has, win_gid, npts)].set(
+                mask.astype(jnp.uint8), mode="drop"
+            )
+            return None, cls_row
+
+        _, C = jax.lax.scan(step, None, (starts, quats, trans, masks))
+        return _histogram_classify(C, nclasses, threshold)
+
+    return run
 
 
 def _histogram_classify(C, nclasses, threshold):
@@ -184,13 +264,14 @@ def tpu_label_fuse(npts, nclasses, hw, threshold=0.5):
     h, w = hw
     HW = h * w
     INVALID = 255  # sorts after every real class id
-    # packed z-buffer entry: 12-bit quantized depth (2.4 mm over 10 m) in the
+    # packed z-buffer entry: 11-bit quantized depth (4.9 mm over 10 m) in the
     # high bits, 20-bit point id in the low bits -> ONE segment_min yields
     # both the winning depth and the winning point per pixel, and the winner
     # extraction happens pixel-side (49k-element ops) instead of per-point
     # gathers (1M-element random access, the measured XLA bottleneck).
-    Z_SCALE = 4096.0 / 10.0
     ID_BITS = 20
+    Z_BITS = 31 - ID_BITS  # sign bit must stay clear in the int32 packing
+    Z_SCALE = float(1 << Z_BITS) / 10.0
     assert npts < (1 << ID_BITS), "packed z-buffer supports < 1M points; shard beyond"
 
     @jax.jit
@@ -203,7 +284,7 @@ def tpu_label_fuse(npts, nclasses, hw, threshold=0.5):
             u, v, z = camera.project_points(points, K, q, t)
             ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
             pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
+            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
             packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
             pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
             win_id = pmin & ((1 << ID_BITS) - 1)

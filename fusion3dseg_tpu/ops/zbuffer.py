@@ -82,7 +82,7 @@ def zbuffer_uv2pt_packed(
     (XLA scatters are the bottleneck; this halves+ the scatter count and
     moves winner extraction to cheap pixel-side ops).
 
-    Spec: nearest wins at max_depth/2^(32-id_bits) depth resolution (2.4 mm
+    Spec: nearest wins at max_depth/2^(31-id_bits) depth resolution (4.9 mm
     at the defaults), ties -> lowest point id. Supports < 2^id_bits points;
     shard the point axis beyond that (parallel/voting.py).
     """

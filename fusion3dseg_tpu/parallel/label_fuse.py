@@ -46,8 +46,9 @@ def label_fuse_sharded(
     npts = points.shape[0]
     ndev = mesh.shape[axis]
     assert npts % ndev == 0, f"npts {npts} % {ndev} devices != 0"
-    Z_SCALE = 4096.0 / 10.0
     ID_BITS = 20
+    Z_BITS = 31 - ID_BITS
+    Z_SCALE = float(1 << Z_BITS) / 10.0
     assert npts < (1 << ID_BITS)
 
     def local(points_l, K_l, quats_l, trans_l, masks_l):
@@ -59,7 +60,7 @@ def label_fuse_sharded(
             u, v, z = camera.project_points(points_l, K_l, q, t)
             ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
             pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
+            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
             packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
             pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
             win_id = pmin & ((1 << ID_BITS) - 1)
@@ -114,7 +115,7 @@ def label_fuse_sharded_points(
 
     Cross-device depth ties resolve by (quantized z, device-local id) —
     deterministic, documented deviation from the single-chip global-min-id
-    tie-break (ties require exactly equal 2.4 mm-quantized depth).
+    tie-break (ties require exactly equal 4.9 mm-quantized depth).
     """
     h, w = hw
     HW = h * w
@@ -123,8 +124,9 @@ def label_fuse_sharded_points(
     assert npts % ndev == 0
     local_n = npts // ndev
     assert local_n < (1 << 20)
-    Z_SCALE = 4096.0 / 10.0
     ID_BITS = 20
+    Z_BITS = 31 - ID_BITS
+    Z_SCALE = float(1 << Z_BITS) / 10.0
 
     def local(points_l, K_l, quats_l, trans_l, masks_l):
         big = jnp.int32(2**31 - 1)
@@ -135,7 +137,7 @@ def label_fuse_sharded_points(
             u, v, z = camera.project_points(points_l, K_l, q, t)
             ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
             pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, 4095).astype(jnp.int32)
+            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
             packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
             pmin_local = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
             # global z-buffer: elementwise min across devices over ICI

@@ -98,3 +98,33 @@ class TestLabelFuse:
             jnp.asarray(trans), jnp.asarray(masks),
         )
         np.testing.assert_array_equal(classes_sh, np.asarray(classes_1))
+
+
+class TestBigKernel:
+    def test_big_matches_small_at_matched_spec(self, rng):
+        hw = (32, 24)
+        N, F = 5000, 8
+        pts = (rng.normal(size=(N, 3)) + [0, 0, 3.0]).astype(np.float32)
+        K = np.array([[20.0, 0, 12], [0, 20.0, 16], [0, 0, 1]], np.float32)
+        ang = np.linspace(0, 2 * np.pi, F, endpoint=False)
+        trans = np.stack(
+            [np.cos(ang) * 0.2, np.zeros(F), np.sin(ang) * 0.2], -1
+        ).astype(np.float32)
+        quats = np.tile([1.0, 0, 0, 0], (F, 1)).astype(np.float32)
+        masks = rng.integers(0, 10, (F, hw[0] * hw[1])).astype(np.uint8)
+        order_ext, starts, M = label_fuse.build_view_index(
+            pts, K, quats, trans, hw, subsample=1, pad=8, round_to=1024
+        )
+        assert M % 1024 == 0 and M // 1024 > 1  # exercises the sub-slice combine
+        args = (
+            jnp.asarray(pts[order_ext]), jnp.asarray(order_ext, jnp.int32),
+            jnp.asarray(starts), jnp.asarray(K), jnp.asarray(quats),
+            jnp.asarray(trans), jnp.asarray(masks),
+        )
+        _, c_small = label_fuse.tpu_label_fuse_culled(N, 10, hw, M)(*args)
+        _, c_big = label_fuse.tpu_label_fuse_culled_big(
+            N, 10, hw, M, shard_bits=10
+        )(*args)
+        # only quantized-depth ties may differ (different tie-break rules)
+        agree = (np.asarray(c_small) == np.asarray(c_big)).mean()
+        assert agree > 0.999, agree
