@@ -48,7 +48,11 @@ def main(argv=None):
     s.add_argument("--max-depth", type=float, default=4.0)
     s.add_argument("--decimation", type=int, default=1)
     s.add_argument("--min-occ", type=int, default=3)
-    s.add_argument("--capacity", type=int, default=1 << 20)
+    s.add_argument("--apply-min-occ", action="store_true",
+                   help="actually drop low-occurrence points and remap uv2pt "
+                        "(the reference computes but discards this filter)")
+    s.add_argument("--capacity", type=int, default=1 << 20,
+                   help="sparse buffer capacity; 0 = auto-size")
 
     s = sub.add_parser("seg3d", help="vote + classify + instance split + master classes")
     s.add_argument("session_dir")
@@ -137,7 +141,8 @@ def main(argv=None):
             radius=args.radius, angle=args.angle, stride=args.stride,
             point_range=(args.min_depth, args.max_depth),
             decimation=args.decimation, min_occ=args.min_occ,
-            capacity=args.capacity, verbose=True,
+            capacity=args.capacity or None, verbose=True,
+            apply_min_occ=args.apply_min_occ,
         )
         print(f"fused cloud: {len(out[0])} points")
 

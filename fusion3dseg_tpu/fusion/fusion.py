@@ -334,7 +334,7 @@ class Fusion:
     session: "object"  # fusion3dseg_tpu.io.rtab.SessionData
     point_range: Optional[Tuple[float, float]] = None
     decimation: int = 1
-    capacity: int = 1 << 20
+    capacity: Optional[int] = 1 << 20  # None -> auto-size from the seed frame
     save_lookups: bool = True
     out_dir: Optional[str] = None
 
@@ -386,6 +386,25 @@ class Fusion:
         # start at the first frame with any valid point (fusion.py:236-238)
         start = int(np.argmax(valid.any(axis=1)))
         sel = np.r_[start, np.arange(start + 1, self.nframes, skip)]
+
+        if self.capacity is None:
+            # auto-size: seed-frame sparsification density x a generous
+            # per-frame growth allowance; the saturation warning below is
+            # the backstop if a pathological session still overflows
+            s0 = self.session
+            sp = sparsify.patch_sparsify(
+                jnp.asarray(s0.points[start]), jnp.asarray(s0.normals[start]),
+                jnp.asarray(s0.colors[start]), jnp.asarray(s0.depth[start]),
+                jnp.asarray(valid[start]), h, w, int(stride), float(radius),
+                min_cosine, float(max_depth),
+            )
+            n0 = max(int(np.asarray(jnp.sum(sp.counts > 0))), 256)
+            est = n0 * (2 + len(sel) // 2)
+            self.capacity = int(
+                min(max(1 << (est - 1).bit_length(), 1 << 14), 1 << 21)
+            )
+            if verbose:
+                print(f"auto capacity: seed {n0} cells -> {self.capacity}")
 
         s = self.session
         state, uv2pt = fuse_session(

@@ -44,9 +44,10 @@ def process3DSeg(
     point_range: Tuple[float, float] = (0.1, 4.0),
     decimation: int = 1,
     min_occ: Optional[int] = 3,
-    capacity: int = 1 << 20,
+    capacity: Optional[int] = 1 << 20,
     verbose: bool = False,
     session: Optional[rtab.SessionData] = None,
+    apply_min_occ: bool = False,
 ):
     """Fuse a session into a sparse cloud + artifacts.
 
@@ -55,9 +56,16 @@ def process3DSeg(
 
     Note on min_occ: the reference computes the occurrence filter but dumps
     the UNFILTERED arrays (process3D.py:50-63 — the filtered `ds_pts_` is
-    never used), keeping uv2pt indices consistent. We reproduce that
-    behavior: the mask is computed and reported, the dump is unfiltered.
+    never used), keeping uv2pt indices consistent. Default reproduces that
+    behavior; `apply_min_occ=True` actually applies the filter AND remaps
+    every uv2pt artifact to the filtered indices (dropped points -> -1), so
+    downstream voting sees the denoised cloud.
+
+    capacity=None auto-sizes the sparse buffer from the seed frame's
+    sparsification density.
     """
+    import numpy as np
+
     if session is None:
         session = load_session(input_data_path)
 
@@ -83,6 +91,15 @@ def process3DSeg(
         mask, _ = fuser.filter(nmerges, min_occ, None, less_than=False)
         if verbose:
             print(f"points passing nmerges >= {min_occ}: {mask.sum()}")
+        if apply_min_occ:
+            remap = np.full(len(pts) + 1, -1, np.int32)
+            remap[:-1][mask] = np.arange(int(mask.sum()), dtype=np.int32)
+            pts, norms, clrs = pts[mask], norms[mask], clrs[mask]
+            nmerges, occurences = nmerges[mask], occurences[mask]
+            uvdir = Path(output_path) / "fusion" / "uv2pt"
+            for f in uvdir.glob("*.npy"):
+                uv = np.load(f)
+                np.save(f, remap[uv])  # uv == -1 indexes remap[-1] == -1
 
     with timing.span("fusion.dump", verbose=verbose):
         fuser.dump_data(output_path, pts, norms, clrs, nmerges, occurences, True, verbose)

@@ -103,6 +103,31 @@ class TestSegmentImageE2E:
                      filter_classes=[5], segmenter=seg)
         assert len(list(masks.glob("*.png"))) == 0
 
+    def test_auto_capacity_and_min_occ_remap(self, tmp_path):
+        from fusion3dseg_tpu.pipeline import process3d
+
+        sess = synthetic.make_session(nframes=10, depth_hw=(48, 36))
+        out = tmp_path / "sess"
+        synthetic.write_session_dir(sess, out)
+        work = tmp_path / "work"
+        pts, *_ = process3d.process3DSeg(
+            out, work, radius=0.1, stride=6, point_range=(0.1, 8.0),
+            capacity=None,  # auto-size
+            min_occ=3, apply_min_occ=True,
+        )
+        n = len(pts)
+        assert n > 0
+        # every uv2pt artifact was remapped into the filtered index space
+        for f in (work / "fusion" / "uv2pt").glob("*.npy"):
+            uv = np.load(f)
+            assert uv.max() < n
+            assert uv.min() >= -1
+        # and the dumped cloud only holds points with nmerges >= 3
+        from fusion3dseg_tpu.io import artifacts
+
+        _, _, _, nmerges, _, _, _, _ = artifacts.load_fusion_data(work)
+        assert (np.asarray(nmerges) >= 3).all()
+
     def test_capacity_saturation_warns(self):
         import warnings as w
 
