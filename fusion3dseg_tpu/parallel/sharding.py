@@ -111,10 +111,22 @@ def init_sharded_train(
     )
     pspec = nn.get_partition_spec(boxed_shapes)["params"]
     psharding = nn.logical_to_mesh_sharding(pspec, mesh, LOGICAL_RULES)
-    # adam moments are replicated for now (functionally correct — XLA
-    # reshards; memory-suboptimal). TODO: mirror psharding into mu/nu.
+    # adam moments mirror the param shardings: any opt-state subtree whose
+    # structure matches the param tree (mu, nu) gets psharding; scalars and
+    # everything else replicate
     oshapes = jax.eval_shape(init_fn, key)[1]
-    osharding = jax.tree.map(lambda _: replicated(mesh), oshapes)
+    ptreedef = jax.tree.structure(psharding)
+
+    def shard_opt_state(subtree):
+        if jax.tree.structure(subtree) == ptreedef:
+            return psharding
+        return jax.tree.map(lambda _: replicated(mesh), subtree)
+
+    osharding = jax.tree.map(
+        shard_opt_state, oshapes,
+        is_leaf=lambda x: jax.tree.structure(x) == ptreedef
+        if not isinstance(x, jax.ShapeDtypeStruct) else True,
+    )
 
     init_jit = jax.jit(init_fn, out_shardings=(psharding, osharding))
     params, opt_state = init_jit(key)
