@@ -5,15 +5,16 @@ Train first (writes /tmp/seg2d_ckpt):
     python -m fusion3dseg_tpu train --steps 400 --batch-size 8 --lr 3e-4 \
         --checkpoint-dir /tmp/seg2d_ckpt
 
-then run this script. Measured on one TPU v5e (400 train steps, ~5 min):
+then run this script. Measured on one TPU v5e:
 
-    2D pixel accuracy on an UNSEEN synthetic room: 0.9651
-    3D classes (model masks) vs 3D classes (ground-truth masks): 0.8806
-    unclassified fraction on the model path: 0.0092
+    steps   final loss   2D pixel acc (unseen room)   3D agreement vs GT-mask pipeline   unclassified
+     400      0.126            0.9651                        0.8806                         0.0092
+    1500      0.014            0.9950                        0.9554                         0.0055
 
-i.e. multi-view voting turns a 96.5%-accurate 2D segmenter into a 3D
-labeling that matches the ground-truth-mask pipeline on ~88% of points with
-almost nothing left unclassified.
+i.e. multi-view voting turns a 99.5%-accurate 2D segmenter into a 3D
+labeling that matches the ground-truth-mask pipeline on 95.5% of points
+with almost nothing left unclassified — and 3D quality tracks 2D quality,
+so further training keeps paying through the whole pipeline.
 """
 
 import sys
