@@ -19,7 +19,6 @@ so further training keeps paying through the whole pipeline.
 
 import sys
 import tempfile
-import time
 from pathlib import Path
 
 import numpy as np

@@ -43,7 +43,7 @@ class TestSRAttention:
         assert err < 0.05
 
     def test_model_flag_runs(self):
-        from fusion3dseg_tpu.models import SegFormer, SegFormerConfig, create_model
+        from fusion3dseg_tpu.models import SegFormerConfig, create_model
 
         cfg = SegFormerConfig(
             num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),

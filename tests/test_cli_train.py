@@ -1,12 +1,7 @@
 """Tests: CLI subcommands, component extras, trainer smoke."""
 
-import sys
-from pathlib import Path
-
 import numpy as np
 import jax.numpy as jnp
-import pytest
-
 from fusion3dseg_tpu import cli
 from fusion3dseg_tpu.ops import components, neighbors
 
@@ -102,8 +97,6 @@ class TestComponentExtras:
 
 class TestTrainerSmoke:
     def test_short_training_reduces_loss(self):
-        import jax
-
         from fusion3dseg_tpu.models.segformer import SegFormerConfig
         from fusion3dseg_tpu.models.train import TrainConfig, train
         from fusion3dseg_tpu.parallel import sharding

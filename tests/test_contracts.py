@@ -7,7 +7,6 @@ their names, dtypes and layouts are contract-tested explicitly.
 """
 
 import json
-from pathlib import Path
 
 import numpy as np
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from fusion3dseg_tpu.geometry import quaternion as quat
 from fusion3dseg_tpu.geometry import camera, intersections

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from fusion3dseg_tpu.ops import label_fuse
 from fusion3dseg_tpu.parallel import sharding

@@ -5,7 +5,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from fusion3dseg_tpu.io import synthetic, rtab, artifacts, ply
+from fusion3dseg_tpu.io import synthetic, rtab, ply
 from fusion3dseg_tpu.pipeline import process3d, get3dseg
 
 

@@ -1,15 +1,12 @@
 """Tests for refinement, door/window meshes, correspondence, planes, mesh utils."""
 
-from pathlib import Path
-
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from fusion3dseg_tpu.ops import neighbors
 from fusion3dseg_tpu.pipeline import correspondence, door_window, planes, refinement
 from fusion3dseg_tpu.utils import mesh as meshu
-from fusion3dseg_tpu.io import ply, artifacts
+from fusion3dseg_tpu.io import artifacts
 
 import oracle
 
