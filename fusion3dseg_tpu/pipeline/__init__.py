@@ -13,4 +13,5 @@ from fusion3dseg_tpu.pipeline import (  # noqa: F401
     door_window,
     planes,
     refinement,
+    streaming,
 )
