@@ -59,7 +59,12 @@ def main(argv=None):
     s.add_argument("mask_dir")
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--nclasses", type=int, default=133)
-    s.add_argument("--filter-classes", type=int, nargs="*", default=None)
+    s.add_argument("--filter-classes", type=int, nargs="*",
+                   default=[86, 114, 115],
+                   help="restrict the argmax to these classes "
+                        "(the reference's default); use --all-classes to "
+                        "classify over every class")
+    s.add_argument("--all-classes", action="store_true")
     s.add_argument("--min-pts-per-inst", type=int, default=100)
 
     s = sub.add_parser("remove-classes", help="keep-class filtering / scene cleanup")
@@ -151,7 +156,8 @@ def main(argv=None):
 
         segment(
             args.session_dir, args.mask_dir, threshold=args.threshold,
-            nclasses=args.nclasses, filter_classes=args.filter_classes,
+            nclasses=args.nclasses,
+            filter_classes=None if args.all_classes else args.filter_classes,
             min_pts_per_inst=args.min_pts_per_inst, verbose=True,
         )
 

@@ -264,7 +264,10 @@ class SessionData:
         for i in range(F):
             frame = {
                 "frameNumber": int(self.frame_numbers[i]),
-                "orgPoints": cam_pts[i] * 1000.0,  # cache keeps mm pre-/1000 scale
+                # the reference caches orgPoints already rescaled to meters
+                # (ios_rtab.py:185 divides by 1000 BEFORE getTofCameraData
+                # stores them)
+                "orgPoints": cam_pts[i],
                 "orgNormals": self.translations[i] - cam_pts[i],
                 "modPoints": self.points[i],
                 "modNormals": self.translations[i] - self.points[i],
@@ -311,7 +314,8 @@ class SessionData:
             pts.append(np.asarray(fr["modPoints"], np.float32))
             nrms.append(np.asarray(fr["modSurfaceNormals"], np.float32))
             clrs.append(np.asarray(fr["orgColorPoints"], np.float32))
-            depth.append(np.asarray(fr["orgPoints"], np.float32)[:, 2] / 1000.0)
+            # orgPoints are cached in meters (see write_cache note)
+            depth.append(np.asarray(fr["orgPoints"], np.float32)[:, 2])
         H, W = rts["Depth_res"][:2]
         xyzw = np.asarray(rts["odo_wxyz"], np.float32)
         return cls(

@@ -35,8 +35,38 @@ _OFFSETS = jnp.asarray(
 )
 
 
-@partial(jax.jit, static_argnames=("k", "cap_per_cell", "chunk"))
 def radius_graph(
+    points,
+    radius,
+    valid=None,
+    k: int = 16,
+    cap_per_cell: int = 8,
+    chunk: int = 4096,
+):
+    """Host-checked wrapper: the linear cell key must fit int32 (scene
+    extent / radius bounded at ~1290 cells per axis in the worst case);
+    beyond that, use the native C++ builder (io/native.py) whose keys are
+    hashed 64-bit."""
+    import numpy as np
+
+    pts_host = np.asarray(points)
+    fin = np.isfinite(pts_host).all(axis=-1)
+    if valid is not None:
+        fin &= np.asarray(valid)
+    if fin.any():
+        ext = pts_host[fin].max(0) - pts_host[fin].min(0)
+        cells = np.maximum(ext / float(radius) + 2, 1.0)
+        if float(np.prod(cells)) >= 2**31:
+            raise ValueError(
+                f"scene extent {ext} at radius {radius} needs {cells} grid "
+                "cells — linear int32 keys would overflow; use "
+                "fusion3dseg_tpu.io.native.radius_graph instead"
+            )
+    return _radius_graph_jit(points, radius, valid, k=k, cap_per_cell=cap_per_cell, chunk=chunk)
+
+
+@partial(jax.jit, static_argnames=("k", "cap_per_cell", "chunk"))
+def _radius_graph_jit(
     points: jax.Array,
     radius: float | jax.Array,
     valid: Optional[jax.Array] = None,

@@ -48,6 +48,10 @@ def vote_frame(
       updated votes [npts, nclasses+1] int32.
     """
     npts, nc1 = votes.shape
+    assert npts * nc1 < 2**31, (
+        f"flat vote key {npts}x{nc1} exceeds int32 — shard the point axis "
+        "(parallel/voting.vote_sharded_points)"
+    )
     valid = uv2pt >= 0
     cls = jnp.clip(mask.astype(jnp.int32), 0, nc1 - 1)
     # flat (point, class) key; invalid pixels get an out-of-range trash key

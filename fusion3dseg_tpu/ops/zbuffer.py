@@ -76,7 +76,8 @@ def zbuffer_uv2pt_packed(
 ) -> jax.Array:
     """Fast-path uv2pt via ONE packed segment_min (the production kernel).
 
-    Packs quantized depth (32 - id_bits bits over [0, max_depth]) with the
+    Packs quantized depth (31 - id_bits bits over [0, max_depth]; the int32
+    sign bit stays clear) with the
     point id into a single int32 so one segment_min yields both winner and
     depth — measured ~2.5x faster than the two-pass zbuffer_uv2pt on TPU
     (XLA scatters are the bottleneck; this halves+ the scatter count and

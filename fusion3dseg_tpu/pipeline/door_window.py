@@ -88,7 +88,9 @@ def _closest_face_projection(
     tri_dist = np.abs(perp).sum(0)  # [T]
     closest = tri_dist.argmin()
     upper = tri_dist[closest] * 1.05
-    cand = np.nonzero(tri_dist < upper)[0]
+    # <= so the closest face itself is always a candidate (a strict < is
+    # empty when the minimal summed distance is exactly zero)
+    cand = np.nonzero(tri_dist <= upper)[0]
 
     best, best_inside = None, -1
     for t in cand:

@@ -152,9 +152,17 @@ def SegmentImage(
             chunk = images[i : i + batch_size]
             ims = [cv2.imread(p)[:, :, ::-1] for p in chunk]
             hw0 = ims[0].shape[:2]
-            batch = np.stack([im if im.shape[:2] == hw0 else cv2.resize(im, hw0[::-1]) for im in ims])
+            batch = np.stack(
+                [im if im.shape[:2] == hw0 else cv2.resize(im, hw0[::-1]) for im in ims]
+            )
             sems = segmenter.predict_batch(batch, conf_threshold)
             for path, im, sem in zip(chunk, ims, sems):
+                if sem.shape != im.shape[:2]:
+                    # mixed-size directory: bring the mask back to THIS
+                    # image's resolution so mask/frame pairing stays valid
+                    sem = cv2.resize(
+                        sem, im.shape[:2][::-1], interpolation=cv2.INTER_NEAREST
+                    )
                 if filter_classes is not None:
                     if not (set(np.unique(sem).tolist()) & filter_classes):
                         continue

@@ -261,12 +261,16 @@ def panoptic_viz(points, ids, idinfo, outdir, coco_data=None, colors=None, alpha
 
     allids = np.unique(ids)
     byid = {i["id"]: i for i in idinfo}
-    idinfo = [byid[i] for i in allids if i in byid]
+    # keep ids and info positionally aligned: drop ids with no info entry
+    # from BOTH sequences (zipping the filtered info against the unfiltered
+    # id list would attach colors/names to the wrong instances)
+    present = [i for i in allids if i in byid]
+    idinfo = [byid[i] for i in present]
 
     if colors is None:
         colors = np.zeros((len(points), 3))
-    palette = pal.random_palette(len(allids), seed=1)
-    for id_, info, clr in zip(allids, idinfo, palette):
+    palette = pal.random_palette(len(present), seed=1)
+    for id_, info, clr in zip(present, idinfo, palette):
         info["hexcolor"] = pal.to_css_hex((clr * 255).astype(int))
         cid = info["category_id"]
         info["name"] = classnames[cid] if cid < len(classnames) else str(cid)

@@ -76,6 +76,8 @@ PARENT_COLORS: np.ndarray = np.array(
 
 def _default_parent(name: str) -> str:
     n = name.lower()
+    if n == "unclassified":
+        return "unclassified"
     if "wall" in n:
         return "Walls"
     if "ceiling" in n or n == "roof":
@@ -107,7 +109,7 @@ class Taxonomy:
 
     def __init__(
         self,
-        class_names: Sequence[str] = COCO_133_CLASSES,
+        class_names: Optional[Sequence[str]] = None,
         parent_names: Optional[Sequence[str]] = None,
         parent_ids: Optional[Sequence[int]] = None,
         flag_infojson: Optional[Sequence[bool]] = None,
@@ -115,6 +117,11 @@ class Taxonomy:
         parent_classes: Sequence[str] = PARENT_CLASSES,
         parent_colors: np.ndarray = PARENT_COLORS,
     ):
+        if class_names is None:
+            # include the trailing class 133 'unclassified' — the reference's
+            # classes.csv carries it (get3DSeg.master_classes handles
+            # category_id 133 inside the in-taxonomy branch, :430-431)
+            class_names = COCO_133_CLASSES + ["unclassified"]
         self.class_names = list(class_names)
         self.parent_classes = list(parent_classes)
         self.parent_colors = np.asarray(parent_colors)

@@ -145,8 +145,11 @@ class TestArtifactContracts:
         class_id, parent_name, parent_id, flag_infojson, building = load_csv(
             tmp_path / "classes.csv"
         )
-        assert class_id == list(range(133))
-        assert len(parent_name) == 133 and len(parent_id) == 133
+        # 134 rows: COCO-133 plus the trailing class 133 'unclassified'
+        # (the reference's classes.csv carries it, get3DSeg.py:430-431)
+        assert class_id == list(range(134))
+        assert len(parent_name) == 134 and len(parent_id) == 134
+        assert parent_name[133] == "unclassified" and 133 not in building
         # doors/windows/walls are building classes (kept by remove_classes)
         assert 86 in building and 114 in building and 131 in building
         # couch/tv are removable objects
