@@ -106,31 +106,24 @@ def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
     import jax.numpy as jnp
 
     from fusion3dseg_tpu.geometry import camera
+    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
 
     h, w = hw
-    HW = h * w
     INVALID = 255
     ID_BITS = 20
-    Z_BITS = 31 - ID_BITS  # sign bit must stay clear in the int32 packing
-    Z_SCALE = float(1 << Z_BITS) / 10.0
     assert npts < (1 << ID_BITS)
 
     @jax.jit
     def run(points_ext, ids_ext, starts, K, quats, trans, masks):
-        big = jnp.int32(2**31 - 1)
-
         def step(_, frame):
             start, q, t, mask = frame
             pts = jax.lax.dynamic_slice(points_ext, (start, 0), (M, 3))
             ids = jax.lax.dynamic_slice(ids_ext, (start,), (M,))
             u, v, z = camera.project_points(pts, K, q, t)
-            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-            pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
-            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
-            pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
+            pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool), h, w,
+                               id_bits=ID_BITS)
             win_id = pmin & ((1 << ID_BITS) - 1)
-            has = pmin != big
+            has = pmin != INT32_MAX
             cls_row = jnp.full((npts,), INVALID, jnp.uint8)
             cls_row = cls_row.at[jnp.where(has, win_id, npts)].set(
                 mask.astype(jnp.uint8), mode="drop"
@@ -168,40 +161,34 @@ def tpu_label_fuse_culled_big(npts, nclasses, hw, M, threshold=0.5,
     import jax.numpy as jnp
 
     from fusion3dseg_tpu.geometry import camera
+    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
 
     h, w = hw
-    HW = h * w
     INVALID = 255
     # default to the same 11-bit depth spec as the 2^20-id kernels so
     # results are comparable across kernels; must fit 31 - shard_bits
-    Z_BITS = min(z_bits if z_bits is not None else 11, 31 - shard_bits)
-    Z_SCALE = float(1 << Z_BITS) / 10.0
+    zb = min(z_bits if z_bits is not None else 11, 31 - shard_bits)
     NS = 1 << shard_bits
     assert M % NS == 0, f"M={M} must be a multiple of 2^{shard_bits}"
     SUB = M // NS
 
     @jax.jit
     def run(points_ext, ids_ext, starts, K, quats, trans, masks):
-        big = jnp.int32(2**31 - 1)
-
         def step(_, frame):
             start, q, t, mask = frame
             pts = jax.lax.dynamic_slice(points_ext, (start, 0), (M, 3))
             ids = jax.lax.dynamic_slice(ids_ext, (start,), (M,))
             u, v, z = camera.project_points(pts, K, q, t)
-            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-            pix = jnp.where(ok, v * w + u, HW).reshape(SUB, NS)
-            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
             local = jax.lax.broadcasted_iota(jnp.int32, (SUB, NS), 1)
-            packed = jnp.where(
-                ok.reshape(SUB, NS), (zq.reshape(SUB, NS) << shard_bits) | local, big
-            )
             pmin_sub = jax.vmap(
-                lambda p, s: jax.ops.segment_min(p, s, num_segments=HW + 1)
-            )(packed, pix)[:, :HW]  # [SUB, HW]
+                lambda uu, vv, zz, ll: packed_pmin(
+                    uu, vv, zz, ll, jnp.ones_like(zz, bool), h, w,
+                    id_bits=shard_bits, z_bits=zb,
+                )
+            )(u.reshape(SUB, NS), v.reshape(SUB, NS), z.reshape(SUB, NS), local)
             win_sub = jnp.argmin(pmin_sub, axis=0)  # first min: sub tie-break
             pmin = jnp.min(pmin_sub, axis=0)
-            has = pmin != big
+            has = pmin != INT32_MAX
             win_local = pmin & (NS - 1)
             win_pos = win_sub * NS + win_local  # position within the slice
             win_gid = ids[jnp.clip(win_pos, 0, M - 1)]
@@ -260,35 +247,30 @@ def tpu_label_fuse(npts, nclasses, hw, threshold=0.5):
     import jax.numpy as jnp
 
     from fusion3dseg_tpu.geometry import camera
+    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
 
     h, w = hw
-    HW = h * w
     INVALID = 255  # sorts after every real class id
-    # packed z-buffer entry: 11-bit quantized depth (4.9 mm over 10 m) in the
-    # high bits, 20-bit point id in the low bits -> ONE segment_min yields
-    # both the winning depth and the winning point per pixel, and the winner
-    # extraction happens pixel-side (49k-element ops) instead of per-point
-    # gathers (1M-element random access, the measured XLA bottleneck).
+    # packed z-buffer entry (ops/zbuffer.packed_pmin): 11-bit quantized depth
+    # (4.9 mm over 10 m) in the high bits, 20-bit point id in the low bits ->
+    # ONE segment_min yields both the winning depth and the winning point per
+    # pixel, and the winner extraction happens pixel-side (49k-element ops)
+    # instead of per-point gathers (1M-element random access, the measured
+    # XLA bottleneck).
     ID_BITS = 20
-    Z_BITS = 31 - ID_BITS  # sign bit must stay clear in the int32 packing
-    Z_SCALE = float(1 << Z_BITS) / 10.0
     assert npts < (1 << ID_BITS), "packed z-buffer supports < 1M points; shard beyond"
 
     @jax.jit
     def run(points, K, quats, trans, masks):
         ids = jax.lax.broadcasted_iota(jnp.int32, (npts, 1), 0)[:, 0]
-        big = jnp.int32(2**31 - 1)
 
         def step(_, frame):
             q, t, mask = frame
             u, v, z = camera.project_points(points, K, q, t)
-            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-            pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
-            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
-            pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
+            pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool), h, w,
+                               id_bits=ID_BITS)
             win_id = pmin & ((1 << ID_BITS) - 1)
-            has = pmin != big
+            has = pmin != INT32_MAX
             cls_row = jnp.full((npts,), INVALID, jnp.uint8)
             cls_row = cls_row.at[jnp.where(has, win_id, npts)].set(
                 mask.astype(jnp.uint8), mode="drop"

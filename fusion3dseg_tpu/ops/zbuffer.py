@@ -64,6 +64,38 @@ def zbuffer_uv2pt(
     return uv2pt
 
 
+def packed_pmin(
+    u: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    ids: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    id_bits: int = 20,
+    z_bits: int | None = None,
+    max_depth: float = 10.0,
+) -> jax.Array:
+    """THE packed z-buffer frame step, shared by every label-fusion kernel.
+
+    Packs quantized depth with an id into one int32 (sign bit kept clear:
+    z_bits <= 31 - id_bits; 11 bits / 4.9 mm over 10 m at the defaults) and
+    segment_min's over pixels. Returns pmin [height*width] int32 with
+    INT32_MAX for empty pixels; the winner id is pmin & ((1<<id_bits)-1),
+    the winning quantized depth pmin >> id_bits.
+
+    Spec: nearest wins at max_depth/2^z_bits resolution, ties -> lowest id.
+    """
+    z_bits = min(z_bits if z_bits is not None else 11, 31 - id_bits)
+    scale = float(1 << z_bits) / max_depth
+    npix = height * width
+    ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    pix = jnp.where(ok, v * width + u, npix)
+    zq = jnp.clip(z * scale, 0, (1 << z_bits) - 1).astype(jnp.int32)
+    packed = jnp.where(ok, (zq << id_bits) | ids, INT32_MAX)
+    return jax.ops.segment_min(packed, pix, num_segments=npix + 1)[:npix]
+
+
 def zbuffer_uv2pt_packed(
     u: jax.Array,
     v: jax.Array,
@@ -89,16 +121,9 @@ def zbuffer_uv2pt_packed(
     """
     n = u.shape[0]
     assert n < (1 << id_bits), f"{n} points exceed {id_bits} id bits"
-    npix = height * width
-    zbits = 32 - id_bits - 1  # keep sign bit clear
-    zscale = (1 << zbits) / max_depth
     ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-
-    ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-    pix = jnp.where(ok, v * width + u, npix)
-    zq = jnp.clip(z * zscale, 0, (1 << zbits) - 1).astype(jnp.int32)
-    packed = jnp.where(ok, (zq << id_bits) | ids, INT32_MAX)
-    pmin = jax.ops.segment_min(packed, pix, num_segments=npix + 1)[:npix]
+    pmin = packed_pmin(u, v, z, ids, valid, height, width,
+                       id_bits=id_bits, max_depth=max_depth)
     return jnp.where(pmin == INT32_MAX, -1, pmin & ((1 << id_bits) - 1)).astype(
         jnp.int32
     )

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fusion3dseg_tpu.geometry import camera
 from fusion3dseg_tpu.ops.label_fuse import _histogram_classify
+from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
 
 
 def label_fuse_sharded(
@@ -47,24 +48,18 @@ def label_fuse_sharded(
     ndev = mesh.shape[axis]
     assert npts % ndev == 0, f"npts {npts} % {ndev} devices != 0"
     ID_BITS = 20
-    Z_BITS = 31 - ID_BITS
-    Z_SCALE = float(1 << Z_BITS) / 10.0
     assert npts < (1 << ID_BITS)
 
     def local(points_l, K_l, quats_l, trans_l, masks_l):
-        big = jnp.int32(2**31 - 1)
         ids = jax.lax.broadcasted_iota(jnp.int32, (npts, 1), 0)[:, 0]
 
         def step(_, frame):
             q, t, mask = frame
             u, v, z = camera.project_points(points_l, K_l, q, t)
-            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-            pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
-            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
-            pmin = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
+            pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool), h, w,
+                               id_bits=ID_BITS)
             win_id = pmin & ((1 << ID_BITS) - 1)
-            has = pmin != big
+            has = pmin != INT32_MAX
             row = jnp.full((npts,), 255, jnp.uint8)
             row = row.at[jnp.where(has, win_id, npts)].set(
                 mask.astype(jnp.uint8), mode="drop"
@@ -125,21 +120,16 @@ def label_fuse_sharded_points(
     local_n = npts // ndev
     assert local_n < (1 << 20)
     ID_BITS = 20
-    Z_BITS = 31 - ID_BITS
-    Z_SCALE = float(1 << Z_BITS) / 10.0
 
     def local(points_l, K_l, quats_l, trans_l, masks_l):
-        big = jnp.int32(2**31 - 1)
+        big = INT32_MAX
         ids = jax.lax.broadcasted_iota(jnp.int32, (local_n, 1), 0)[:, 0]
 
         def step(_, frame):
             q, t, mask = frame
             u, v, z = camera.project_points(points_l, K_l, q, t)
-            ok = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-            pix = jnp.where(ok, v * w + u, HW)
-            zq = jnp.clip(z * Z_SCALE, 0, (1 << Z_BITS) - 1).astype(jnp.int32)
-            packed = jnp.where(ok, (zq << ID_BITS) | ids, big)
-            pmin_local = jax.ops.segment_min(packed, pix, num_segments=HW + 1)[:HW]
+            pmin_local = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool),
+                                     h, w, id_bits=ID_BITS)
             # global z-buffer: elementwise min across devices over ICI
             pmin = jax.lax.pmin(pmin_local, axis)
             # this device's points win where the global winner came from it;
