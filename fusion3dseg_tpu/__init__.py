@@ -22,3 +22,20 @@ de-facto public API documented in SURVEY.md §1.
 __version__ = "0.1.0"
 
 from fusion3dseg_tpu import config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax/cv2 at package import)
+    if name in ("Fusion", "fuse_session"):
+        from fusion3dseg_tpu import fusion as _f
+
+        return getattr(_f, name)
+    if name == "SessionData":
+        from fusion3dseg_tpu.io.rtab import SessionData
+
+        return SessionData
+    if name in ("process3DSeg", "segment", "remove_classes", "SegmentImage"):
+        from fusion3dseg_tpu import pipeline as _p
+
+        return getattr(_p, name)
+    raise AttributeError(name)

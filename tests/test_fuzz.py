@@ -1,0 +1,56 @@
+"""Fuzz: random room seeds through the full pipeline, asserting invariants."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fusion3dseg_tpu.io import synthetic, rtab
+from fusion3dseg_tpu.pipeline import process3d, get3dseg
+
+
+@pytest.mark.parametrize("seed", [11, 222, 3333])
+def test_pipeline_invariants_random_rooms(tmp_path, seed):
+    room = synthetic.RoomSpec(
+        size=(4 + seed % 5, 2.4 + (seed % 3) * 0.3, 5 + seed % 4),
+        num_objects=2 + seed % 6,
+        seed=seed,
+    )
+    sess = synthetic.make_session(nframes=8, depth_hw=(40, 32), room=room)
+    out = tmp_path / "s"
+    work = tmp_path / "w"
+    synthetic.write_session_dir(sess, out)
+
+    pts, norms, clrs, nmerges, occ, nframes, hw, adj = process3d.process3DSeg(
+        out, work, radius=0.12, stride=6, point_range=(0.1, 10.0),
+        capacity=None, min_occ=2,
+    )
+    n = len(pts)
+    assert n > 0
+    # invariants on the fused cloud
+    assert np.isfinite(pts).all() and np.isfinite(norms).all()
+    nl = np.linalg.norm(norms, axis=1)
+    assert np.all((nl > 0.99) & (nl < 1.01))  # unit normals
+    assert (nmerges >= 1).all() and (occ >= 1).all()
+    assert (occ <= nframes).all()
+
+    get3dseg.segment(work, out / "masks", filter_classes=None,
+                     min_pts_per_inst=10, verbose=False)
+    cls = np.load(work / "segmentation" / "classes.npy")
+    ids = np.load(work / "panoptic_segmentation" / "ids.npy")
+    votes = np.load(work / "segmentation" / "votes.npy")
+    assert cls.shape == (n,) and ids.shape == (n,)
+    assert cls.max() <= 133 and ids.min() >= 0
+    # votes totals bounded by frames (dedup: <= 1 vote per frame per class...
+    # actually per (point, class) pair per frame)
+    assert votes.max() <= nframes
+    # info areas sum to n for panoptic ids
+    info = json.loads((work / "panoptic_segmentation" / "info.json").read_text())
+    assert sum(e["area"] for e in info) == n
+    # final_info exists and has valid bboxes where present
+    final = json.loads(
+        (work / "panoptic_segmentation" / "final_info.json").read_text()
+    )
+    for e in final:
+        if e.get("bbox"):
+            assert np.isfinite(np.asarray(e["bbox"])).all()
