@@ -138,6 +138,44 @@ def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
 
 
 
+def culled_class_matrix(npts, hw, M):
+    """Jitted C-matrix producer for one window size: the culled scan WITHOUT
+    the final histogram, so frames grouped by window size can run in
+    separate right-sized scans and classify together (window-size bucketing,
+    docs/ROADMAP.md #3). Returns fn(...) -> C [F, npts] uint8."""
+    import jax
+    import jax.numpy as jnp
+
+    from fusion3dseg_tpu.geometry import camera
+    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
+
+    h, w = hw
+    ID_BITS = 20
+    assert npts < (1 << ID_BITS)
+
+    @jax.jit
+    def run(points_ext, ids_ext, starts, K, quats, trans, masks):
+        def step(_, frame):
+            start, q, t, mask = frame
+            pts = jax.lax.dynamic_slice(points_ext, (start, 0), (M, 3))
+            ids = jax.lax.dynamic_slice(ids_ext, (start,), (M,))
+            u, v, z = camera.project_points(pts, K, q, t)
+            pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool), h, w,
+                               id_bits=ID_BITS)
+            win_id = pmin & ((1 << ID_BITS) - 1)
+            has = pmin != INT32_MAX
+            row = jnp.full((npts,), 255, jnp.uint8)
+            row = row.at[jnp.where(has, win_id, npts)].set(
+                mask.astype(jnp.uint8), mode="drop"
+            )
+            return None, row
+
+        _, C = jax.lax.scan(step, None, (starts, quats, trans, masks))
+        return C
+
+    return run
+
+
 def tpu_label_fuse_culled_big(npts, nclasses, hw, M, threshold=0.5,
                               shard_bits=20, z_bits=None):
     """Culled kernel for clouds beyond the 2^20 packed-id limit (single chip).
