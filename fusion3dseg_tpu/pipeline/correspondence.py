@@ -180,3 +180,33 @@ class PointCorrespondence:
         freq = np.asarray([len(c) for c in chunks])
         idx = np.concatenate(chunks).astype(np.int32) if chunks else np.zeros(0, np.int32)
         return idx, freq
+
+    def vote(self, masks: np.ndarray, num_sparse: int, nclasses: int) -> np.ndarray:
+        """Radius-NN voting over all frames — the deprecated reference
+        PointVotingSegmentation.vote semantics (voting.py:224-265): every
+        depth pixel votes its mask class onto EVERY sparse point within
+        radius of its dense point, with a dedicated total-votes column.
+
+        masks: [F, H, W] or [F, H*W] class ids at depth resolution.
+        Returns votes [num_sparse, nclasses + 1] (last column = totals).
+        """
+        h, w = self.depth_hw
+        masks = np.asarray(masks).reshape(self.nframes, h * w)
+        votes = np.zeros((num_sparse, nclasses + 1), np.int64)
+        for f in range(self.nframes):
+            lo = f * h * w
+            # CSR rows for this frame's dense points
+            starts = self._offsets[lo : lo + h * w]
+            ends = self._offsets[lo + 1 : lo + h * w + 1]
+            freq = ends - starts
+            if freq.sum() == 0:
+                continue
+            idx = np.concatenate(
+                [self._sp_sorted[s:e] for s, e in zip(starts, ends) if e > s]
+            )
+            cls = np.repeat(masks[f][freq > 0], freq[freq > 0])
+            # fancy-index += like the reference (voting.py:257-258):
+            # duplicate (point, class) pairs within one frame collapse
+            votes[idx, cls] += 1
+            votes[idx, nclasses] += 1
+        return votes

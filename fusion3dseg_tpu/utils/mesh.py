@@ -49,6 +49,28 @@ def to_lines(points, edges, colors=None):
     return {"points": np.asarray(points), "edges": np.asarray(edges, np.int32), "colors": colors}
 
 
+def read_camera_json(path):
+    """Read an open3d-style PinholeCameraParameters JSON (reference
+    meshUtils.py:10-33 loads these for viewer poses).
+
+    Returns (K [3,3], extrinsic [4,4], width, height). open3d stores
+    intrinsic_matrix column-major.
+    """
+    import json
+
+    with open(path) as fp:
+        data = json.load(fp)
+    if "intrinsic" in data:  # PinholeCameraParameters wrapper
+        intr = data["intrinsic"]
+        extr = np.asarray(data.get("extrinsic", np.eye(4).ravel()), float)
+    else:  # bare PinholeCameraIntrinsic
+        intr = data
+        extr = np.eye(4).ravel()
+    K = np.asarray(intr["intrinsic_matrix"], float).reshape(3, 3, order="F")
+    extrinsic = extr.reshape(4, 4, order="F")
+    return K, extrinsic, int(intr["width"]), int(intr["height"])
+
+
 # ------------------------ vertex / triangle maps ---------------------------
 
 

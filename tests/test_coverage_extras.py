@@ -133,3 +133,36 @@ class TestPlanesInterop:
                               np.zeros((3, 3), np.float32))
         got = planes.resolve_ply(tmp_path, "fusion")
         assert got.endswith("fusion_0_05_10.ply")
+
+
+class TestCameraJson:
+    def test_read_pinhole_params(self, tmp_path):
+        import json
+
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+        data = {
+            "intrinsic": {
+                "intrinsic_matrix": K.flatten(order="F").tolist(),
+                "width": 640, "height": 480,
+            },
+            "extrinsic": np.eye(4).flatten(order="F").tolist(),
+        }
+        (tmp_path / "cam.json").write_text(json.dumps(data))
+        K2, ext, w, h = meshu.read_camera_json(tmp_path / "cam.json")
+        np.testing.assert_allclose(K2, K)
+        np.testing.assert_allclose(ext, np.eye(4))
+        assert (w, h) == (640, 480)
+
+
+class TestRadiusVoting:
+    def test_deprecated_point_voting_semantics(self):
+        # 1 frame, 1x2 image; dense pixel 0 near sparse 0, pixel 1 near both
+        sparse = np.array([[0, 0, 0], [1, 0, 0]], np.float32)
+        dense = np.array([[0.05, 0, 0], [0.5, 0, 0]], np.float32)
+        pc = correspondence.PointCorrespondence(sparse, dense, 0.6, 1, (1, 2))
+        masks = np.array([[3, 7]], np.uint8)
+        votes = pc.vote(masks, num_sparse=2, nclasses=10)
+        # sparse 0 within 0.6 of both pixels -> one vote class 3, one class 7
+        assert votes[0, 3] == 1 and votes[0, 7] == 1 and votes[0, 10] == 1
+        # sparse 1 within 0.6 of pixel 1 only
+        assert votes[1, 7] == 1 and votes[1, 10] == 1 and votes[1, 3] == 0
