@@ -14,15 +14,16 @@ a single fused XLA program and the session is a lax.scan over frames:
   1. frustum + far-plane culling of the sparse buffer — one [N,5] half-space
      einsum (reference fusion.py:254-260);
   2. sparse -> pixel projection — one [N,3]x[3,3] matmul (camera.py);
-  3. candidate assignment — sparse points z-buffered into a coarse pixel-cell
-     grid; every dense pixel gathers the 3x3 neighboring cells' candidates
-     and merges with the nearest one passing dist<radius & cos>min_cosine
-     (the reference's criterion, fusion.py:165-170, evaluated for all pixels
-     at once instead of greedy patch order);
+  3. candidate assignment — sparse points z-buffered into a fine pixel-cell
+     grid (two depth-ordered candidates per cell); every dense pixel gathers
+     its 3x3 neighborhood's candidates and merges with the nearest one
+     passing dist<radius & cos>min_cosine (the reference's criterion,
+     fusion.py:165-170, evaluated for all pixels at once instead of greedy
+     patch order);
   4. merge — segment-sum means into the sparse buffer: running mean of
      position/color/normal, nmerges += matches, occurences += 1 for touched
      slots (reference fusion.py:288-298 semantics);
-  5. leftovers — unmatched pixels patch-sparsified at 2x stride
+  5. leftovers — unmatched pixels voxel-sparsified at the merge radius
      (ops/sparsify.py) and appended by prefix-sum compaction into the
      fixed-capacity buffer.
 
@@ -107,10 +108,16 @@ def _fuse_frame(
     state: FusionState,
     q, t, fpts, fnrm, fclr, fdepth, fvalid,
     *, Ks, height, width, stride, radius, min_cosine, max_depth, capacity,
+    candidate_px,
 ) -> Tuple[FusionState, jax.Array]:
     """One fusion step: merge a new frame into the sparse buffer."""
     P = height * width
-    half = max(1, stride // 2)  # candidate-grid cell size in pixels
+    # candidate-grid cell size in pixels: must track the SPARSE point
+    # spacing (~radius in world units, a few px), not the reference's
+    # search-patch stride — a coarse grid holds only 2 depth-ordered
+    # candidates per cell and starves matching when many sparse points
+    # share a cell
+    half = candidate_px
     gh = -(-height // half)
     gw = -(-width // half)
     ncells = gh * gw
@@ -134,21 +141,36 @@ def _fuse_frame(
     # dominate at capacity ~1M; see ops/zbuffer.zbuffer_uv2pt_packed).
     # 11-bit depth quantization over max_depth (~5mm at 10m) only affects
     # which of several VERY close sparse points becomes the cell candidate.
-    id_bits = max(1, (capacity - 1).bit_length())
+    # capacity.bit_length() (not capacity-1) keeps one spare id value so a
+    # max-depth-bin point in the last slot can never pack to INT32_MAX and
+    # alias the empty-cell sentinel
+    id_bits = max(1, capacity.bit_length())
     zbits = 31 - id_bits
+    cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
     if zbits >= 8:
         slot32 = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
         zq = jnp.clip(z * ((1 << zbits) / max_depth), 0, (1 << zbits) - 1).astype(jnp.int32)
         packed = jnp.where(ok, (zq << id_bits) | slot32, INT32_MAX)
-        cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
         pmin = jax.ops.segment_min(packed, cell, num_segments=ncells + 1)[:ncells]
         cand_of_cell = jnp.where(pmin == INT32_MAX, -1, pmin & ((1 << id_bits) - 1))
+        # second candidate per cell: exclude the first winners and re-min.
+        # A single candidate starves visible background points at occlusion
+        # edges (they re-append duplicates every frame); two depth-ordered
+        # candidates per cell x the 3x3 neighborhood gives 18 merge
+        # candidates per pixel.
+        cell_safe = jnp.clip(cell, 0, ncells - 1)
+        is_winner = ok & (packed == pmin[cell_safe])
+        packed2 = jnp.where(is_winner, INT32_MAX, packed)
+        pmin2 = jax.ops.segment_min(packed2, cell, num_segments=ncells + 1)[:ncells]
+        cand2_of_cell = jnp.where(
+            pmin2 == INT32_MAX, -1, pmin2 & ((1 << id_bits) - 1)
+        )
     else:
-        cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
         winner = zbuffer.scatter_argmin_by_segment(
             jnp.where(ok, z, jnp.inf), cell, ncells + 1
         )
         cand_of_cell = jnp.where(winner[:ncells] == INT32_MAX, -1, winner[:ncells])
+        cand2_of_cell = jnp.full_like(cand_of_cell, -1)
 
     # 3b. every dense pixel gathers candidates from its 3x3 cell neighborhood
     pu = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
@@ -161,7 +183,13 @@ def _fuse_frame(
     ncu = cu[:, None] + offs[None, :, 1]
     nok = (ncv >= 0) & (ncv < gh) & (ncu >= 0) & (ncu < gw)
     ncell = jnp.where(nok, ncv * gw + ncu, 0)
-    cand = jnp.where(nok, cand_of_cell[ncell], -1)  # [P, 9] sparse slots
+    cand = jnp.concatenate(
+        [
+            jnp.where(nok, cand_of_cell[ncell], -1),
+            jnp.where(nok, cand2_of_cell[ncell], -1),
+        ],
+        axis=1,
+    )  # [P, 18] sparse slots
 
     cmask = cand >= 0
     cand_safe = jnp.where(cmask, cand, 0)
@@ -217,7 +245,8 @@ def _fuse_frame(
 @partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "stride", "radius", "min_cosine", "max_depth", "capacity",
+        "height", "width", "stride", "radius", "min_cosine", "max_depth",
+        "capacity", "candidate_px",
     ),
 )
 def fuse_session(
@@ -237,6 +266,7 @@ def fuse_session(
     min_cosine: float,
     max_depth: float,
     capacity: int,
+    candidate_px: int = 1,
 ) -> Tuple[FusionState, jax.Array]:
     """Fuse a whole session in one compiled program.
 
@@ -258,7 +288,10 @@ def fuse_session(
 
     def step(state, frame):
         q, t, fp, fn, fc, fd, fv = frame
-        state, uv2pt = _fuse_frame(state, q, t, fp, fn, fc, fd, fv, Ks=Ks, **kw)
+        state, uv2pt = _fuse_frame(
+            state, q, t, fp, fn, fc, fd, fv, Ks=Ks,
+            candidate_px=candidate_px, **kw,
+        )
         return state, uv2pt
 
     state, uv2pt_rest = jax.lax.scan(
@@ -462,7 +495,7 @@ class Fusion:
         self, dirname, points,
         normals=None, colors=None, nmerges=None, occurences=None,
         compute_adjacency=True, verbose=False,
-        adjacency_degree: int = 16,
+        adjacency_degree: int = 32,
     ):
         """Write fusion artifacts (+ radius adjacency at 2*ds_radius,
         reference fusion.py:349-387)."""

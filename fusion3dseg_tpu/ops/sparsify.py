@@ -1,29 +1,30 @@
-"""Deterministic patch sparsification (frame point-cloud downsampling).
+"""Deterministic voxel sparsification (frame point-cloud downsampling).
 
 Capability parity with reference Fusion.patch_downsample
 (fusion.py:134-210): sparsify one frame's dense depth point cloud by merging
-points that fall in the same image patch, are within `radius` of each other,
-and have consistent surface normals (cos > min_cosine); merged clusters
-become their mean position/color/normal, with nmerges counters and a
-pixel->sparse-point `uv2pt` lookup.
+points within `radius` of each other with consistent surface normals
+(cos > min_cosine); merged clusters become their mean position/color/normal,
+with nmerges counters and a pixel->sparse-point `uv2pt` lookup.
 
 The reference visits points in np.random.shuffle order and greedily grows
 patches (fusion.py:172-208) — sequential and nondeterministic. TPU re-design
-(SURVEY.md §7.1): group pixels by (image patch, depth bin, normal pass) cell
-and take segment means per cell:
+(SURVEY.md §7.1): group pixels by WORLD voxel of side `radius` and take
+segment means per voxel:
 
-  * patch cell (stride x stride pixels) bounds the in-image extent; at
-    typical indoor depth/intrinsics the patch's world xy-extent is below the
-    merge radius, so binning depth in `radius`-sized bins bounds the full
-    Euclidean criterion;
+  * voxel membership bounds the full Euclidean merge criterion (intra-cell
+    distance <= sqrt(3)*radius; the reference's greedy balls have diameter
+    up to 2*radius around the seed, so cluster scales match) — an earlier
+    (image-patch, depth-bin) formulation bounded only depth and over-merged
+    xy at range;
   * a two-pass normal split assigns points whose normal disagrees with the
-    cell mean (cos <= min_cosine) to a secondary cell, preserving the
+    voxel mean (cos <= min_cosine) to a secondary cell, preserving the
     normal-cone criterion across creases.
 
-Deterministic, O(N), one XLA program of segment reductions — same
-sparsification density and criterion semantics, without the visit-order
-dependence (parity with the reference is statistical by design, SURVEY.md §7
-"hard parts" (a)).
+Implementation: per-frame voxel keys -> one sort of H*W keys -> dense run
+ids by prefix sum -> segment means with a STATIC 2*H*W segment bound. No
+capacity-sized tables, fully deterministic, O(H*W log H*W) per frame.
+Parity with the reference is statistical by design (SURVEY.md §7 hard
+part (a)).
 """
 
 from __future__ import annotations
@@ -32,6 +33,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from fusion3dseg_tpu.ops.zbuffer import INT32_MAX
 
 
 class SparsifyResult(NamedTuple):
@@ -43,12 +46,6 @@ class SparsifyResult(NamedTuple):
     counts: jax.Array  # [C] int32 points merged per cell (= nmerges)
     cell_of_pixel: jax.Array  # [H*W] int32 cell slot per pixel, -1 invalid
     num_cells: int  # static C
-
-
-def num_cells(height: int, width: int, stride: int, zbins: int) -> int:
-    hp = -(-height // stride)
-    wp = -(-width // stride)
-    return hp * wp * zbins * 2
 
 
 def patch_sparsify(
@@ -64,50 +61,67 @@ def patch_sparsify(
     min_cosine: float,
     max_depth: float,
 ) -> SparsifyResult:
-    """Sparsify one frame (dense pixel cloud -> per-cell means).
+    """Sparsify one frame (dense pixel cloud -> per-voxel means).
 
     Args:
-      points, normals, colors: [H*W, 3] row-major per-pixel data.
-      depth: [H*W] camera-frame depth (meters) used for radius binning.
+      points, normals, colors: [H*W, 3] row-major per-pixel data (points in
+        WORLD coordinates).
+      depth: [H*W] camera-frame depth — unused by the voxel formulation,
+        kept for signature stability.
       valid: [H*W] bool; invalid pixels don't contribute and map to cell -1.
-      height, width, stride: image geometry (static).
-      radius: merge distance threshold (= depth bin size).
+      height, width: image geometry (static).
+      stride: unused by the voxel formulation (the reference's patch size
+        only bounded its greedy search; the merge radius governs here).
+      radius: merge distance scale (= voxel side).
       min_cosine: normal-agreement threshold.
-      max_depth: static depth cap defining the number of depth bins.
+      max_depth: static frustum depth bound; with `radius` it caps the voxel
+        key range (static int32-overflow guard).
 
     Returns:
-      SparsifyResult with C = ceil(H/s)*ceil(W/s)*ceil(max_depth/radius)*2
-      padded cell slots.
+      SparsifyResult with C = 2 * H * W padded cell slots (a frame produces
+      at most one primary + one secondary cell per pixel).
     """
-    hp = -(-height // stride)
-    wp = -(-width // stride)
-    zb = max(1, int(-(-max_depth // radius)))
-    c_base = hp * wp * zb
-    C = c_base * 2
-
-    u = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
-    v = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).reshape(-1)
-    patch = (v // stride) * wp + (u // stride)
-    zbin = jnp.clip((depth / radius).astype(jnp.int32), 0, zb - 1)
-    cell = patch * zb + zbin  # [H*W] in [0, c_base)
-
-    seg0 = jnp.where(valid, cell, c_base)  # trash segment c_base
-
-    # pass 1: cell mean normal
-    nsum = jax.ops.segment_sum(
-        jnp.where(valid[:, None], normals, 0.0), seg0, num_segments=c_base + 1
+    del depth, stride  # see docstring
+    HW = height * width
+    C = 2 * HW
+    # static guard: per-axis cells bounded by the frustum diameter
+    cells_axis = 2.0 * max_depth / radius + 4
+    assert cells_axis**3 < 2**31, (
+        f"voxel key range ({cells_axis:.0f}^3) exceeds int32 for "
+        f"radius={radius}, max_depth={max_depth}; raise radius or lower max_depth"
     )
+
+    big = jnp.float32(3.0e38)
+    pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    vox = jnp.floor((points - pmin) / radius).astype(jnp.int32)
+    vox = jnp.maximum(vox, 0)
+    vmax = jnp.max(jnp.where(valid[:, None], vox, -1), axis=0)
+    ny, nz = vmax[1] + 2, vmax[2] + 2
+    key = (vox[:, 0] * ny + vox[:, 1]) * nz + vox[:, 2]
+    key = jnp.where(valid, key, INT32_MAX)
+
+    # sort pixels by voxel key -> dense run ids via prefix sum
+    ids = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0]
+    skey, sidx = jax.lax.sort((key, ids), num_keys=1)
+    newrun = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    ) & (skey != INT32_MAX)
+    runid_sorted = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # -1 before 1st run
+    seg_of_pixel = jnp.zeros((HW,), jnp.int32).at[sidx].set(runid_sorted)
+    seg0 = jnp.where(valid & (seg_of_pixel >= 0), seg_of_pixel, HW)
+
+    # pass 1: voxel mean normal -> secondary split for disagreeing normals
+    w1 = (seg0 < HW).astype(jnp.float32)
+    nsum = jax.ops.segment_sum(normals * w1[:, None], seg0, num_segments=HW + 1)
     nmean = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
     agree = jnp.einsum(
-        "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, c_base - 1)], precision="highest"
+        "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, HW - 1)], precision="highest"
     )
     secondary = (agree <= min_cosine) & valid
 
-    # pass 2: split disagreeing points into the secondary subcell
-    cell2 = cell * 2 + secondary.astype(jnp.int32)
-    seg = jnp.where(valid, cell2, C)
+    seg = jnp.where(seg0 < HW, seg0 * 2 + secondary.astype(jnp.int32), C)
 
-    ones = valid.astype(jnp.float32)
+    ones = (seg < C).astype(jnp.float32)
     cnt = jax.ops.segment_sum(ones, seg, num_segments=C + 1)
     psum = jax.ops.segment_sum(points * ones[:, None], seg, num_segments=C + 1)
     csum = jax.ops.segment_sum(colors * ones[:, None], seg, num_segments=C + 1)
@@ -121,7 +135,7 @@ def patch_sparsify(
         jnp.linalg.norm(mean_nrm, axis=-1, keepdims=True), 1e-12
     )
     counts = cnt[:C].astype(jnp.int32)
-    cell_of_pixel = jnp.where(valid, cell2, -1).astype(jnp.int32)
+    cell_of_pixel = jnp.where(seg < C, seg, -1).astype(jnp.int32)
 
     return SparsifyResult(mean_pts, mean_nrm, mean_clr, counts, cell_of_pixel, C)
 

@@ -48,6 +48,7 @@ def process3DSeg(
     verbose: bool = False,
     session: Optional[rtab.SessionData] = None,
     apply_min_occ: bool = False,
+    adjacency_degree: int = 32,
 ):
     """Fuse a session into a sparse cloud + artifacts.
 
@@ -102,5 +103,6 @@ def process3DSeg(
                 np.save(f, remap[uv])  # uv == -1 indexes remap[-1] == -1
 
     with timing.span("fusion.dump", verbose=verbose):
-        fuser.dump_data(output_path, pts, norms, clrs, nmerges, occurences, True, verbose)
+        fuser.dump_data(output_path, pts, norms, clrs, nmerges, occurences, True,
+                        verbose, adjacency_degree=adjacency_degree)
     return (*Fusion.load_data(output_path),)
