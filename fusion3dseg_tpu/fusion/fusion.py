@@ -87,13 +87,15 @@ def _append_sparsified(
 
 def _seed_frame(
     state: FusionState,
-    fpts, fnrm, fclr, fdepth, fvalid,
-    *, height, width, stride, radius, min_cosine, max_depth, capacity,
+    fpts, fnrm, fclr, fvalid,
+    *, height, width, radius, min_cosine, max_depth, capacity,
 ) -> Tuple[FusionState, jax.Array]:
-    """First frame: sparsify at `stride` (reference fusion.py:239-245)."""
+    """First frame: voxel-sparsify at the merge radius (the analog of the
+    reference's seed patch_downsample, fusion.py:239-245; the voxel
+    formulation has no separate `stride` axis — radius governs)."""
+    del max_depth  # culling applies from the second frame on
     sp = sparsify.patch_sparsify(
-        fpts, fnrm, fclr, fdepth, fvalid,
-        height, width, stride, radius, min_cosine, max_depth,
+        fpts, fnrm, fclr, fvalid, height, width, radius, min_cosine,
     )
     state, cell2slot = _append_sparsified(state, sp, capacity)
     uv2pt = jnp.where(
@@ -106,8 +108,8 @@ def _seed_frame(
 
 def _fuse_frame(
     state: FusionState,
-    q, t, fpts, fnrm, fclr, fdepth, fvalid,
-    *, Ks, height, width, stride, radius, min_cosine, max_depth, capacity,
+    q, t, fpts, fnrm, fclr, fvalid,
+    *, Ks, height, width, radius, min_cosine, max_depth, capacity,
     candidate_px,
 ) -> Tuple[FusionState, jax.Array]:
     """One fusion step: merge a new frame into the sparse buffer."""
@@ -166,11 +168,21 @@ def _fuse_frame(
             pmin2 == INT32_MAX, -1, pmin2 & ((1 << id_bits) - 1)
         )
     else:
-        winner = zbuffer.scatter_argmin_by_segment(
-            jnp.where(ok, z, jnp.inf), cell, ncells + 1
-        )
-        cand_of_cell = jnp.where(winner[:ncells] == INT32_MAX, -1, winner[:ncells])
-        cand2_of_cell = jnp.full_like(cand_of_cell, -1)
+        # capacity too large for packed depth+slot int32 entries: fall back
+        # to two scatter_argmin rounds (4 scatters instead of 2) so large-
+        # capacity runs keep BOTH depth-ordered candidates per cell — a
+        # single candidate starves matching (87% occurences==1, measured;
+        # see the dual-candidate rationale above).
+        zc = jnp.where(ok, z, jnp.inf)
+        winner = zbuffer.scatter_argmin_by_segment(zc, cell, ncells + 1)[:ncells]
+        cand_of_cell = jnp.where(winner == INT32_MAX, -1, winner)
+        cell_safe = jnp.clip(cell, 0, ncells - 1)
+        slot32 = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+        is_winner = ok & (slot32 == cand_of_cell[cell_safe])
+        winner2 = zbuffer.scatter_argmin_by_segment(
+            jnp.where(is_winner, jnp.inf, zc), cell, ncells + 1
+        )[:ncells]
+        cand2_of_cell = jnp.where(winner2 == INT32_MAX, -1, winner2)
 
     # 3b. every dense pixel gathers candidates from its 3x3 cell neighborhood
     pu = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
@@ -193,7 +205,7 @@ def _fuse_frame(
 
     cmask = cand >= 0
     cand_safe = jnp.where(cmask, cand, 0)
-    cpts = state.points[cand_safe]  # [P, 9, 3]
+    cpts = state.points[cand_safe]  # [P, 18, 3]: 3x3 cells x 2 candidates
     cnrm = state.normals[cand_safe]
     dist = jnp.linalg.norm(fpts[:, None, :] - cpts, axis=-1)
     cosn = jnp.sum(fnrm[:, None, :] * cnrm, axis=-1)
@@ -224,11 +236,14 @@ def _fuse_frame(
     new_occ = state.occurences + touched.astype(jnp.int32)
     state = FusionState(new_pts, new_nrm, new_clr, new_nm, new_occ, state.n)
 
-    # 5. leftover pixels -> sparsify at 2x stride and append (fusion.py:306-320)
+    # 5. leftover pixels -> voxel-sparsify at the merge radius and append
+    #    (the analog of the reference's 2x-stride leftover downsample,
+    #    fusion.py:306-320; here the voxel size — not a patch stride —
+    #    controls cluster scale, and using the merge radius keeps appended
+    #    leftovers mergeable on later frames)
     leftover = fvalid & jnp.logical_not(matched)
     sp = sparsify.patch_sparsify(
-        fpts, fnrm, fclr, fdepth, leftover,
-        height, width, 2 * stride, radius, min_cosine, max_depth,
+        fpts, fnrm, fclr, leftover, height, width, radius, min_cosine,
     )
     state, cell2slot = _append_sparsified(state, sp, capacity)
 
@@ -270,26 +285,32 @@ def fuse_session(
 ) -> Tuple[FusionState, jax.Array]:
     """Fuse a whole session in one compiled program.
 
-    Frame 0 seeds the buffer (sparsify at `stride`); frames 1..F-1 run the
-    merge step under lax.scan. Returns (final state, uv2pt [F, H*W] int32).
+    Frame 0 seeds the buffer (voxel sparsify at the merge radius); frames
+    1..F-1 run the merge step under lax.scan. Returns (final state,
+    uv2pt [F, H*W] int32).
+
+    `depth` and `stride` are accepted for signature stability but unused:
+    the voxel sparsifier works on world positions and the merge radius (the
+    reference's patch stride has no analog in the voxel formulation).
 
     Caller contract: frame 0 should have at least one valid point (the
     reference scans forward for the first such frame, fusion.py:236-238 —
     do that on the host before calling).
     """
+    del depth, stride
     state = _empty_state(capacity)
     kw = dict(
-        height=height, width=width, stride=stride, radius=radius,
+        height=height, width=width, radius=radius,
         min_cosine=min_cosine, max_depth=max_depth, capacity=capacity,
     )
     state, uv2pt0 = _seed_frame(
-        state, points[0], normals[0], colors[0], depth[0], valid[0], **kw
+        state, points[0], normals[0], colors[0], valid[0], **kw
     )
 
     def step(state, frame):
-        q, t, fp, fn, fc, fd, fv = frame
+        q, t, fp, fn, fc, fv = frame
         state, uv2pt = _fuse_frame(
-            state, q, t, fp, fn, fc, fd, fv, Ks=Ks,
+            state, q, t, fp, fn, fc, fv, Ks=Ks,
             candidate_px=candidate_px, **kw,
         )
         return state, uv2pt
@@ -299,7 +320,7 @@ def fuse_session(
         state,
         (
             quats_wxyz[1:], translations[1:], points[1:], normals[1:],
-            colors[1:], depth[1:], valid[1:],
+            colors[1:], valid[1:],
         ),
     )
     uv2pt = jnp.concatenate([uv2pt0[None], uv2pt_rest], axis=0)
@@ -427,9 +448,8 @@ class Fusion:
             s0 = self.session
             sp = sparsify.patch_sparsify(
                 jnp.asarray(s0.points[start]), jnp.asarray(s0.normals[start]),
-                jnp.asarray(s0.colors[start]), jnp.asarray(s0.depth[start]),
-                jnp.asarray(valid[start]), h, w, int(stride), float(radius),
-                min_cosine, float(max_depth),
+                jnp.asarray(s0.colors[start]), jnp.asarray(valid[start]),
+                h, w, float(radius), min_cosine,
             )
             n0 = max(int(np.asarray(jnp.sum(sp.counts > 0))), 256)
             est = n0 * (2 + len(sel) // 2)

@@ -60,6 +60,10 @@ def sr_attention(
     """
     B, N, H, D = q.shape
     M = k.shape[1]
+    assert N % q_tile == 0, (
+        f"N={N} must be a multiple of q_tile={q_tile}: the pallas grid "
+        "floor-divides and would silently leave the tail rows unwritten"
+    )
     scale = 1.0 / (D ** 0.5)
     q = (q * scale).astype(q.dtype)
 

@@ -20,11 +20,12 @@ segment means per voxel:
     voxel mean (cos <= min_cosine) to a secondary cell, preserving the
     normal-cone criterion across creases.
 
-Implementation: per-frame voxel keys -> one sort of H*W keys -> dense run
-ids by prefix sum -> segment means with a STATIC 2*H*W segment bound. No
-capacity-sized tables, fully deterministic, O(H*W log H*W) per frame.
-Parity with the reference is statistical by design (SURVEY.md §7 hard
-part (a)).
+Implementation: per-frame voxel coordinates -> one 3-key lexicographic sort
+of H*W pixels -> dense run ids by prefix sum -> segment means with a STATIC
+2*H*W segment bound. No capacity-sized tables, no linearized voxel key (so
+no int32-overflow regime at any FOV/extent), fully deterministic,
+O(H*W log H*W) per frame. Parity with the reference is statistical by
+design (SURVEY.md §7 hard part (a)).
 """
 
 from __future__ import annotations
@@ -52,60 +53,53 @@ def patch_sparsify(
     points: jax.Array,
     normals: jax.Array,
     colors: jax.Array,
-    depth: jax.Array,
     valid: jax.Array,
     height: int,
     width: int,
-    stride: int,
     radius: float,
     min_cosine: float,
-    max_depth: float,
 ) -> SparsifyResult:
     """Sparsify one frame (dense pixel cloud -> per-voxel means).
 
     Args:
       points, normals, colors: [H*W, 3] row-major per-pixel data (points in
         WORLD coordinates).
-      depth: [H*W] camera-frame depth — unused by the voxel formulation,
-        kept for signature stability.
       valid: [H*W] bool; invalid pixels don't contribute and map to cell -1.
       height, width: image geometry (static).
-      stride: unused by the voxel formulation (the reference's patch size
-        only bounded its greedy search; the merge radius governs here).
-      radius: merge distance scale (= voxel side).
+      radius: merge distance scale (= voxel side). (The reference's patch
+        `stride` only bounded its greedy search and has no analog here.)
       min_cosine: normal-agreement threshold.
-      max_depth: static frustum depth bound; with `radius` it caps the voxel
-        key range (static int32-overflow guard).
 
     Returns:
       SparsifyResult with C = 2 * H * W padded cell slots (a frame produces
       at most one primary + one secondary cell per pixel).
     """
-    del depth, stride  # see docstring
     HW = height * width
     C = 2 * HW
-    # static guard: per-axis cells bounded by the frustum diameter
-    cells_axis = 2.0 * max_depth / radius + 4
-    assert cells_axis**3 < 2**31, (
-        f"voxel key range ({cells_axis:.0f}^3) exceeds int32 for "
-        f"radius={radius}, max_depth={max_depth}; raise radius or lower max_depth"
-    )
 
     big = jnp.float32(3.0e38)
     pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
     vox = jnp.floor((points - pmin) / radius).astype(jnp.int32)
     vox = jnp.maximum(vox, 0)
-    vmax = jnp.max(jnp.where(valid[:, None], vox, -1), axis=0)
-    ny, nz = vmax[1] + 2, vmax[2] + 2
-    key = (vox[:, 0] * ny + vox[:, 1]) * nz + vox[:, 2]
-    key = jnp.where(valid, key, INT32_MAX)
+    # never linearize the voxel coordinate: a flat key overflows int32 for
+    # large frame extents (FOV > 90 deg can exceed the frustum-diameter
+    # heuristic) and its INT32_MAX value would alias the invalid sentinel.
+    # A 3-key lexicographic sort groups identical voxels with no key range
+    # limits; invalid pixels carry INT32_MAX in every coordinate (real voxel
+    # coordinates are frame-extent-bounded and can never reach it).
+    kx = jnp.where(valid, vox[:, 0], INT32_MAX)
+    ky = jnp.where(valid, vox[:, 1], INT32_MAX)
+    kz = jnp.where(valid, vox[:, 2], INT32_MAX)
 
-    # sort pixels by voxel key -> dense run ids via prefix sum
+    # sort pixels by voxel coordinate -> dense run ids via prefix sum
     ids = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0]
-    skey, sidx = jax.lax.sort((key, ids), num_keys=1)
+    sx, sy, sz, sidx = jax.lax.sort((kx, ky, kz, ids), num_keys=3)
     newrun = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
-    ) & (skey != INT32_MAX)
+        [
+            jnp.ones((1,), bool),
+            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        ]
+    ) & (sx != INT32_MAX)
     runid_sorted = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # -1 before 1st run
     seg_of_pixel = jnp.zeros((HW,), jnp.int32).at[sidx].set(runid_sorted)
     seg0 = jnp.where(valid & (seg_of_pixel >= 0), seg_of_pixel, HW)
