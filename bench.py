@@ -25,9 +25,11 @@ import numpy as np
 
 from fusion3dseg_tpu.ops.label_fuse import (  # noqa: E402
     build_view_index,
+    plan_window_buckets,
     tpu_label_fuse,
     tpu_label_fuse_culled,
     tpu_label_fuse_culled_big,
+    tpu_label_fuse_culled_bucketed,
 )
 
 
@@ -175,19 +177,47 @@ def main():
         index_build_s = time.perf_counter() - t0
         log(f"view index: window M={M} ({M / args.npts:.2f} of N), "
             f"built in {index_build_s:.2f}s")
-        if args.npts < (1 << 20):
-            run_culled = tpu_label_fuse_culled(args.npts, args.nclasses, hw, M)
-        else:
-            run_culled = tpu_label_fuse_culled_big(args.npts, args.nclasses, hw, M)
         points_ext = jnp.asarray(points[order_ext])
         ids_ext = jnp.asarray(order_ext, jnp.int32)
         starts_all = np.asarray(starts, np.int32)
         dev_static = (points_ext, ids_ext, jnp.asarray(K, jnp.float32))
+        if args.npts < (1 << 20):
+            # window-size-bucketed scans: the scatter cost is linear in the
+            # static window length, so frames grouped into right-sized scans
+            # cut ~40% of the scatter volume vs one max-sized scan
+            counts = build_view_index.last_window_counts
+            perm, sizes, Ms = plan_window_buckets(
+                counts, nbuckets=8, max_window=M
+            )
+            log(f"window buckets: {list(zip(sizes, Ms))}")
+            run_bucketed = tpu_label_fuse_culled_bucketed(
+                args.npts, args.nclasses, hw, Ms, sizes
+            )
+            # subset runs (agreement stat) reuse the single-M kernel
+            run_culled = tpu_label_fuse_culled(args.npts, args.nclasses, hw, M)
+            # permute the frame axis on the host once (a device-side gather
+            # of the [F, H*W] masks would cost ~ a frame's scatter)
+            perm_dev = (
+                jnp.asarray(starts_all[perm]), jnp.asarray(quats[perm]),
+                jnp.asarray(trans[perm]), jnp.asarray(masks[perm]),
+            )
 
-        def run(quats_d, trans_d, masks_d, _starts=None):
-            s = jnp.asarray(_starts if _starts is not None else starts_all)
-            return run_culled(dev_static[0], dev_static[1], s,
-                              dev_static[2], quats_d, trans_d, masks_d)
+            def run(quats_d, trans_d, masks_d, _starts=None):
+                if _starts is None:  # full session: permuted bucketed scans
+                    return run_bucketed(
+                        dev_static[0], dev_static[1], perm_dev[0],
+                        dev_static[2], perm_dev[1], perm_dev[2], perm_dev[3],
+                    )
+                return run_culled(dev_static[0], dev_static[1],
+                                  jnp.asarray(_starts),
+                                  dev_static[2], quats_d, trans_d, masks_d)
+        else:
+            run_culled = tpu_label_fuse_culled_big(args.npts, args.nclasses, hw, M)
+
+            def run(quats_d, trans_d, masks_d, _starts=None):
+                s = jnp.asarray(_starts if _starts is not None else starts_all)
+                return run_culled(dev_static[0], dev_static[1], s,
+                                  dev_static[2], quats_d, trans_d, masks_d)
 
     dev = (jnp.asarray(quats), jnp.asarray(trans), jnp.asarray(masks))
     log("compiling ...")

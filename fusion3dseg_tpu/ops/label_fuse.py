@@ -97,6 +97,119 @@ def build_view_index(points, K, quats, trans, hw, nbuckets=512, subsample=16, pa
 
 
 
+def plan_window_buckets(counts, nbuckets=8, round_to=8192, max_window=None):
+    """Group frames into window-size classes for right-sized scans.
+
+    The culled scan's scatter cost is linear in its static window length M
+    (measured 7-9 ns/update regardless of table size or sortedness), and
+    per-frame visible-window counts vary ~3.6x across a session — so running
+    ONE scan at max(counts) wastes ~45% of the scatter volume. This sorts
+    frames by window count, splits them into `nbuckets` equal-frame groups,
+    and sizes each group's scan to its own maximum (rounded to `round_to`).
+
+    Args:
+      counts: [F] per-frame window point counts (build_view_index's
+        last_window_counts diagnostic).
+      nbuckets: number of size classes.
+      round_to: window length granularity (compile-shape stability).
+      max_window: clamp for every bucket window (pass the single-M kernel's
+        M so per-bucket windows never exceed the order_ext extension).
+
+    Returns:
+      perm: [F] int64 frame permutation (group frames contiguously by bucket;
+        apply to starts/quats/translations/masks before the bucketed kernel).
+      sizes: list of per-bucket frame counts (sum == F).
+      Ms: list of per-bucket static window lengths (same length as sizes).
+    """
+    counts = np.asarray(counts)
+    F = len(counts)
+    order = np.argsort(counts, kind="stable")
+    edges = [round(i * F / nbuckets) for i in range(nbuckets + 1)]
+    perm, sizes, Ms = [], [], []
+    for a, b in zip(edges[:-1], edges[1:]):
+        if a >= b:
+            continue
+        grp = order[a:b]
+        Mk = int(-(-int(counts[grp].max()) // round_to) * round_to)
+        if max_window is not None:
+            Mk = min(Mk, int(max_window))
+        perm.extend(grp.tolist())
+        if Ms and Ms[-1] == Mk:
+            sizes[-1] += len(grp)
+        else:
+            Ms.append(Mk)
+            sizes.append(len(grp))
+    return np.asarray(perm, np.int64), sizes, Ms
+
+
+def tpu_label_fuse_culled_bucketed(
+    npts, nclasses, hw, Ms, sizes, threshold=0.5, use_pallas_hist=None
+):
+    """Bucketed culled label fusion: one right-sized scan per window-size
+    class (plan_window_buckets), then ONE classification over the
+    concatenated winner-class matrix — the class histogram is
+    frame-order-invariant, so the bucket permutation needs no undo.
+
+    Call with frame arrays (starts, quats, trans, masks) permuted by
+    plan_window_buckets' perm. Classification runs the Pallas counting
+    kernel on TPU (ops/histogram.py; rows padded to the kernel's lane
+    tile) and the XLA row-sort path elsewhere.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fusion3dseg_tpu.geometry import camera
+    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
+
+    h, w = hw
+    INVALID = 255
+    ID_BITS = 20
+    assert npts < (1 << ID_BITS)
+    if use_pallas_hist is None:
+        use_pallas_hist = jax.devices()[0].platform == "tpu"
+    TILE_N = 512
+    npad = -(-npts // TILE_N) * TILE_N if use_pallas_hist else npts
+
+    @jax.jit
+    def run(points_ext, ids_ext, starts, K, quats, trans, masks):
+        Cs = []
+        o = 0
+        for Mk, sz in zip(Ms, sizes):
+            sl = slice(o, o + sz)
+            o += sz
+
+            def step(_, frame, Mk=Mk):
+                start, q, t, mask = frame
+                pts = jax.lax.dynamic_slice(points_ext, (start, 0), (Mk, 3))
+                ids = jax.lax.dynamic_slice(ids_ext, (start,), (Mk,))
+                u, v, z = camera.project_points(pts, K, q, t)
+                pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool), h, w,
+                                   id_bits=ID_BITS)
+                win_id = pmin & ((1 << ID_BITS) - 1)
+                has = pmin != INT32_MAX
+                row = jnp.full((npad,), INVALID, jnp.uint8)
+                row = row.at[jnp.where(has, win_id, npad)].set(
+                    mask.astype(jnp.uint8), mode="drop"
+                )
+                return None, row
+
+            _, Ck = jax.lax.scan(
+                step, None, (starts[sl], quats[sl], trans[sl], masks[sl])
+            )
+            Cs.append(Ck)
+        C = Cs[0] if len(Cs) == 1 else jnp.concatenate(Cs, axis=0)
+        if use_pallas_hist:
+            from fusion3dseg_tpu.ops.histogram import histogram_classify_tpu
+
+            (total, vmax), classes = histogram_classify_tpu(
+                C, nclasses, threshold, tile_n=TILE_N
+            )
+            return (total[:npts], vmax[:npts]), classes[:npts]
+        return _histogram_classify(C, nclasses, threshold)
+
+    return run
+
+
 def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
     """Culled variant of the fused kernel: each frame z-buffers only its
     view-index slice of M points (see build_view_index). Winner packing uses

@@ -127,3 +127,74 @@ class TestBigKernel:
         # only quantized-depth ties may differ (different tie-break rules)
         agree = (np.asarray(c_small) == np.asarray(c_big)).mean()
         assert agree > 0.999, agree
+
+
+class TestBucketed:
+    def test_plan_window_buckets(self, rng):
+        counts = rng.integers(5_000, 60_000, 64)
+        perm, sizes, Ms = label_fuse.plan_window_buckets(
+            counts, nbuckets=4, round_to=4096, max_window=65536
+        )
+        assert sorted(perm.tolist()) == list(range(64))
+        assert sum(sizes) == 64
+        assert all(m % 4096 == 0 for m in Ms)
+        # every frame's window count fits its bucket's M
+        o = 0
+        for sz, m in zip(sizes, Ms):
+            assert counts[perm[o:o + sz]].max() <= m
+            o += sz
+        # degenerate: all counts equal -> one bucket
+        _, sizes1, Ms1 = label_fuse.plan_window_buckets(
+            np.full(10, 7_000), nbuckets=4, round_to=4096
+        )
+        assert sizes1 == [10] and Ms1 == [8192]
+
+    def test_bucketed_matches_single_m(self, rng):
+        hw = (32, 24)
+        pts, K, quats, trans, masks = _workload(rng, N=3000, F=12, hw=hw)
+        ang = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        trans = np.stack(
+            [np.cos(ang) * 0.2, np.zeros(12), np.sin(ang) * 0.2], -1
+        ).astype(np.float32)
+        order_ext, starts, M = label_fuse.build_view_index(
+            pts, K, quats, trans, hw, subsample=1, pad=8, round_to=256
+        )
+        counts = label_fuse.build_view_index.last_window_counts
+        perm, sizes, Ms = label_fuse.plan_window_buckets(
+            counts, nbuckets=3, round_to=256, max_window=M
+        )
+        args_ext = (jnp.asarray(pts[order_ext]), jnp.asarray(order_ext, jnp.int32))
+        run_b = label_fuse.tpu_label_fuse_culled_bucketed(
+            len(pts), 10, hw, Ms, sizes
+        )
+        (tot_b, vmax_b), c_b = run_b(
+            *args_ext, jnp.asarray(starts[perm]), jnp.asarray(K),
+            jnp.asarray(quats[perm]), jnp.asarray(trans[perm]),
+            jnp.asarray(masks[perm]),
+        )
+        run_s = label_fuse.tpu_label_fuse_culled(len(pts), 10, hw, M)
+        (tot_s, vmax_s), c_s = run_s(
+            *args_ext, jnp.asarray(starts), jnp.asarray(K),
+            jnp.asarray(quats), jnp.asarray(trans), jnp.asarray(masks),
+        )
+        np.testing.assert_array_equal(np.asarray(c_b), np.asarray(c_s))
+        np.testing.assert_array_equal(np.asarray(tot_b), np.asarray(tot_s))
+        np.testing.assert_array_equal(np.asarray(vmax_b), np.asarray(vmax_s))
+
+
+class TestPallasHistogram:
+    def test_matches_xla_histogram(self, rng):
+        from fusion3dseg_tpu.ops.histogram import histogram_classify_tpu
+
+        F, N, nc = 13, 1024, 10
+        C = rng.integers(0, nc + 1, (F, N)).astype(np.uint8)
+        C[rng.random((F, N)) < 0.3] = 255  # INVALID
+        (tot_p, vmax_p), cls_p = histogram_classify_tpu(
+            jnp.asarray(C), nc, 0.5, tile_n=256, interpret=True
+        )
+        (tot_x, vmax_x), cls_x = label_fuse._histogram_classify(
+            jnp.asarray(C), nc, 0.5
+        )
+        np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_x))
+        np.testing.assert_array_equal(np.asarray(vmax_p), np.asarray(vmax_x))
+        np.testing.assert_array_equal(np.asarray(cls_p), np.asarray(cls_x))
