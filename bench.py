@@ -170,9 +170,8 @@ def main():
         M = args.npts
     else:
         t0 = time.perf_counter()
-        round_to = 32768 if args.npts < (1 << 20) else (1 << 20)
         order_ext, starts, M = build_view_index(
-            points, K, quats, trans, hw, round_to=round_to
+            points, K, quats, trans, hw, round_to=32768
         )
         index_build_s = time.perf_counter() - t0
         log(f"view index: window M={M} ({M / args.npts:.2f} of N), "
@@ -181,43 +180,37 @@ def main():
         ids_ext = jnp.asarray(order_ext, jnp.int32)
         starts_all = np.asarray(starts, np.int32)
         dev_static = (points_ext, ids_ext, jnp.asarray(K, jnp.float32))
+        # window-size-bucketed scans: the scatter cost is linear in the
+        # static window length, so frames grouped into right-sized scans
+        # cut ~40% of the scatter volume vs one max-sized scan (works at
+        # any npts — the >2^20 regime uses the gid-range-sharded z-buffer)
+        counts = build_view_index.last_window_counts
+        perm, sizes, Ms = plan_window_buckets(counts, nbuckets=8, max_window=M)
+        log(f"window buckets: {list(zip(sizes, Ms))}")
+        run_bucketed = tpu_label_fuse_culled_bucketed(
+            args.npts, args.nclasses, hw, Ms, sizes
+        )
+        # subset runs (agreement stat) reuse the single-M kernels
         if args.npts < (1 << 20):
-            # window-size-bucketed scans: the scatter cost is linear in the
-            # static window length, so frames grouped into right-sized scans
-            # cut ~40% of the scatter volume vs one max-sized scan
-            counts = build_view_index.last_window_counts
-            perm, sizes, Ms = plan_window_buckets(
-                counts, nbuckets=8, max_window=M
-            )
-            log(f"window buckets: {list(zip(sizes, Ms))}")
-            run_bucketed = tpu_label_fuse_culled_bucketed(
-                args.npts, args.nclasses, hw, Ms, sizes
-            )
-            # subset runs (agreement stat) reuse the single-M kernel
             run_culled = tpu_label_fuse_culled(args.npts, args.nclasses, hw, M)
-            # permute the frame axis on the host once (a device-side gather
-            # of the [F, H*W] masks would cost ~ a frame's scatter)
-            perm_dev = (
-                jnp.asarray(starts_all[perm]), jnp.asarray(quats[perm]),
-                jnp.asarray(trans[perm]), jnp.asarray(masks[perm]),
-            )
-
-            def run(quats_d, trans_d, masks_d, _starts=None):
-                if _starts is None:  # full session: permuted bucketed scans
-                    return run_bucketed(
-                        dev_static[0], dev_static[1], perm_dev[0],
-                        dev_static[2], perm_dev[1], perm_dev[2], perm_dev[3],
-                    )
-                return run_culled(dev_static[0], dev_static[1],
-                                  jnp.asarray(_starts),
-                                  dev_static[2], quats_d, trans_d, masks_d)
         else:
             run_culled = tpu_label_fuse_culled_big(args.npts, args.nclasses, hw, M)
+        # permute the frame axis on the host once (a device-side gather
+        # of the [F, H*W] masks would cost ~ a frame's scatter)
+        perm_dev = (
+            jnp.asarray(starts_all[perm]), jnp.asarray(quats[perm]),
+            jnp.asarray(trans[perm]), jnp.asarray(masks[perm]),
+        )
 
-            def run(quats_d, trans_d, masks_d, _starts=None):
-                s = jnp.asarray(_starts if _starts is not None else starts_all)
-                return run_culled(dev_static[0], dev_static[1], s,
-                                  dev_static[2], quats_d, trans_d, masks_d)
+        def run(quats_d, trans_d, masks_d, _starts=None):
+            if _starts is None:  # full session: permuted bucketed scans
+                return run_bucketed(
+                    dev_static[0], dev_static[1], perm_dev[0],
+                    dev_static[2], perm_dev[1], perm_dev[2], perm_dev[3],
+                )
+            return run_culled(dev_static[0], dev_static[1],
+                              jnp.asarray(_starts),
+                              dev_static[2], quats_d, trans_d, masks_d)
 
     dev = (jnp.asarray(quats), jnp.asarray(trans), jnp.asarray(masks))
     log("compiling ...")

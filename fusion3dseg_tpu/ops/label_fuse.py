@@ -143,7 +143,8 @@ def plan_window_buckets(counts, nbuckets=8, round_to=8192, max_window=None):
 
 
 def tpu_label_fuse_culled_bucketed(
-    npts, nclasses, hw, Ms, sizes, threshold=0.5, use_pallas_hist=None
+    npts, nclasses, hw, Ms, sizes, threshold=0.5, use_pallas_hist=None,
+    id_bits=20,
 ):
     """Bucketed culled label fusion: one right-sized scan per window-size
     class (plan_window_buckets), then ONE classification over the
@@ -153,18 +154,22 @@ def tpu_label_fuse_culled_bucketed(
     Call with frame arrays (starts, quats, trans, masks) permuted by
     plan_window_buckets' perm. Classification runs the Pallas counting
     kernel on TPU (ops/histogram.py; rows padded to the kernel's lane
-    tile) and the XLA row-sort path elsewhere.
+    tile) and the XLA row-sort path elsewhere. Clouds beyond 2^20 points
+    use the gid-range-sharded z-buffer (same exact tie spec, see
+    tpu_label_fuse_culled_big).
     """
     import jax
     import jax.numpy as jnp
 
     from fusion3dseg_tpu.geometry import camera
-    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
+    from fusion3dseg_tpu.ops.zbuffer import (
+        INT32_MAX, lex_combine_gid_sharded, packed_pmin, packed_pmin_gid_sharded,
+    )
 
     h, w = hw
     INVALID = 255
-    ID_BITS = 20
-    assert npts < (1 << ID_BITS)
+    ID_BITS = id_bits
+    NSUB = -(-npts // (1 << ID_BITS))
     if use_pallas_hist is None:
         use_pallas_hist = jax.devices()[0].platform == "tpu"
     TILE_N = 512
@@ -183,10 +188,20 @@ def tpu_label_fuse_culled_bucketed(
                 pts = jax.lax.dynamic_slice(points_ext, (start, 0), (Mk, 3))
                 ids = jax.lax.dynamic_slice(ids_ext, (start,), (Mk,))
                 u, v, z = camera.project_points(pts, K, q, t)
-                pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool), h, w,
-                                   id_bits=ID_BITS)
-                win_id = pmin & ((1 << ID_BITS) - 1)
-                has = pmin != INT32_MAX
+                if NSUB == 1:
+                    pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool),
+                                       h, w, id_bits=ID_BITS)
+                    win_id = pmin & ((1 << ID_BITS) - 1)
+                    has = pmin != INT32_MAX
+                else:
+                    pmin_sub = packed_pmin_gid_sharded(
+                        u, v, z, ids, jnp.ones_like(z, bool), h, w, NSUB,
+                        id_bits=ID_BITS,
+                    )
+                    win_id, has = lex_combine_gid_sharded(
+                        pmin_sub, id_bits=ID_BITS,
+                        z_bits=min(11, 31 - ID_BITS),
+                    )
                 row = jnp.full((npad,), INVALID, jnp.uint8)
                 row = row.at[jnp.where(has, win_id, npad)].set(
                     mask.astype(jnp.uint8), mode="drop"
@@ -290,38 +305,41 @@ def culled_class_matrix(npts, hw, M):
 
 
 def tpu_label_fuse_culled_big(npts, nclasses, hw, M, threshold=0.5,
-                              shard_bits=20, z_bits=None):
+                              shard_bits=20, z_bits=None,
+                              use_pallas_hist=None):
     """Culled kernel for clouds beyond the 2^20 packed-id limit (single chip).
 
-    The per-frame window slice of M points (M may exceed 2^20) is processed
-    as ceil(M / 2^shard_bits) sub-slices: each sub-slice runs its own packed
-    segment_min z-buffer, and the [SUB, H*W] partial buffers combine
-    pixel-side (min over SUB, first-sub tie-break). The winning global point
-    id comes from one [H*W]-sized gather into the window's id slice, and the
-    winner-class row scatters into the global [npts] u8 row as usual.
+    The packed z-buffer is sharded by GID RANGE (ops/zbuffer.
+    packed_pmin_gid_sharded): sub-buffer s owns point ids
+    [s << shard_bits, (s+1) << shard_bits), every window point scatters into
+    segment (gid >> shard_bits) * npix + pix in ONE segment_min (scatter
+    cost is per-update, so the larger table is free), and the packed low
+    bits ARE the gid's low bits. Depth ties therefore resolve by GLOBAL
+    point id EXACTLY — intra-sub by the packed id, cross-sub by the
+    arithmetic lexicographic (depth, gid) combine — matching the 2^20-id
+    kernels and the oracle spec bit-for-bit, with no gathers and no
+    M % 2^shard_bits constraint.
 
     This is the single-chip 10M-point path (BASELINE config 5's scale; the
     multi-chip variant is parallel/label_fuse.label_fuse_sharded_points).
-    Requires M % 2^shard_bits == 0 (pass round_to=2^shard_bits to
-    build_view_index). Depth ties resolve by slice position (azimuth order)
-    instead of the 2^20-id kernels' global-id rule — a documented deviation
-    that only matters for points at exactly equal quantized depth in the
-    same pixel.
     """
     import jax
     import jax.numpy as jnp
 
     from fusion3dseg_tpu.geometry import camera
-    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
+    from fusion3dseg_tpu.ops.zbuffer import (
+        INT32_MAX, lex_combine_gid_sharded, packed_pmin_gid_sharded,
+    )
 
     h, w = hw
     INVALID = 255
-    # default to the same 11-bit depth spec as the 2^20-id kernels so
-    # results are comparable across kernels; must fit 31 - shard_bits
+    # same 11-bit depth spec as the 2^20-id kernels; must fit 31 - shard_bits
     zb = min(z_bits if z_bits is not None else 11, 31 - shard_bits)
-    NS = 1 << shard_bits
-    assert M % NS == 0, f"M={M} must be a multiple of 2^{shard_bits}"
-    SUB = M // NS
+    NSUB = -(-npts // (1 << shard_bits))
+    if use_pallas_hist is None:
+        use_pallas_hist = jax.devices()[0].platform == "tpu"
+    TILE_N = 512
+    npad = -(-npts // TILE_N) * TILE_N if use_pallas_hist else npts
 
     @jax.jit
     def run(points_ext, ids_ext, starts, K, quats, trans, masks):
@@ -330,26 +348,27 @@ def tpu_label_fuse_culled_big(npts, nclasses, hw, M, threshold=0.5,
             pts = jax.lax.dynamic_slice(points_ext, (start, 0), (M, 3))
             ids = jax.lax.dynamic_slice(ids_ext, (start,), (M,))
             u, v, z = camera.project_points(pts, K, q, t)
-            local = jax.lax.broadcasted_iota(jnp.int32, (SUB, NS), 1)
-            pmin_sub = jax.vmap(
-                lambda uu, vv, zz, ll: packed_pmin(
-                    uu, vv, zz, ll, jnp.ones_like(zz, bool), h, w,
-                    id_bits=shard_bits, z_bits=zb,
-                )
-            )(u.reshape(SUB, NS), v.reshape(SUB, NS), z.reshape(SUB, NS), local)
-            win_sub = jnp.argmin(pmin_sub, axis=0)  # first min: sub tie-break
-            pmin = jnp.min(pmin_sub, axis=0)
-            has = pmin != INT32_MAX
-            win_local = pmin & (NS - 1)
-            win_pos = win_sub * NS + win_local  # position within the slice
-            win_gid = ids[jnp.clip(win_pos, 0, M - 1)]
-            cls_row = jnp.full((npts,), INVALID, jnp.uint8)
-            cls_row = cls_row.at[jnp.where(has, win_gid, npts)].set(
+            pmin_sub = packed_pmin_gid_sharded(
+                u, v, z, ids, jnp.ones_like(z, bool), h, w, NSUB,
+                id_bits=shard_bits, z_bits=zb,
+            )
+            win_gid, has = lex_combine_gid_sharded(
+                pmin_sub, id_bits=shard_bits, z_bits=zb
+            )
+            cls_row = jnp.full((npad,), INVALID, jnp.uint8)
+            cls_row = cls_row.at[jnp.where(has, win_gid, npad)].set(
                 mask.astype(jnp.uint8), mode="drop"
             )
             return None, cls_row
 
         _, C = jax.lax.scan(step, None, (starts, quats, trans, masks))
+        if use_pallas_hist:
+            from fusion3dseg_tpu.ops.histogram import histogram_classify_tpu
+
+            (total, vmax), classes = histogram_classify_tpu(
+                C, nclasses, threshold, tile_n=TILE_N
+            )
+            return (total[:npts], vmax[:npts]), classes[:npts]
         return _histogram_classify(C, nclasses, threshold)
 
     return run

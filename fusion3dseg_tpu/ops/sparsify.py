@@ -49,6 +49,97 @@ class SparsifyResult(NamedTuple):
     num_cells: int  # static C
 
 
+class MergeResult(NamedTuple):
+    """Padded weighted voxel merge of an arbitrary point set."""
+
+    points: jax.Array  # [C, 3] weighted cell mean positions
+    normals: jax.Array  # [C, 3] cell mean unit normals (weighted sum, renorm)
+    colors: jax.Array  # [C, 3] weighted cell mean colors
+    counts: jax.Array  # [C] int32 total weight per cell
+    occurences: jax.Array  # [C] int32 summed occurrence counters per cell
+    cell_of_input: jax.Array  # [N] int32 cell slot per input row, -1 invalid
+    num_cells: int  # static C = 2 * N
+
+
+def voxel_merge(
+    points: jax.Array,
+    normals: jax.Array,
+    colors: jax.Array,
+    weights: jax.Array,
+    occurences: jax.Array,
+    valid: jax.Array,
+    radius: float,
+    min_cosine: float,
+) -> MergeResult:
+    """Weight-aware voxel merge of an arbitrary point set (the cross-chunk
+    combiner behind the sharded fusion engine, and the kernel inside
+    patch_sparsify).
+
+    Groups valid rows by world voxel of side `radius` (3-key lexicographic
+    sort — no linearized key, no int32 overflow regime), splits each voxel's
+    normal-cone outliers (cos <= min_cosine vs the voxel's weighted mean
+    normal) into a secondary cell, and emits weighted means with summed
+    weight/occurrence counters. Weights carry merge multiplicity (nmerges)
+    so re-merging sparse buffers keeps running means exact up to voxel
+    re-binning.
+    """
+    N = points.shape[0]
+    C = 2 * N
+
+    big = jnp.float32(3.0e38)
+    pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    vox = jnp.floor((points - pmin) / radius).astype(jnp.int32)
+    vox = jnp.maximum(vox, 0)
+    kx = jnp.where(valid, vox[:, 0], INT32_MAX)
+    ky = jnp.where(valid, vox[:, 1], INT32_MAX)
+    kz = jnp.where(valid, vox[:, 2], INT32_MAX)
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    sx, sy, sz, sidx = jax.lax.sort((kx, ky, kz, ids), num_keys=3)
+    newrun = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+        ]
+    ) & (sx != INT32_MAX)
+    runid_sorted = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+    seg_of_row = jnp.zeros((N,), jnp.int32).at[sidx].set(runid_sorted)
+    seg0 = jnp.where(valid & (seg_of_row >= 0), seg_of_row, N)
+
+    w = jnp.where(seg0 < N, weights.astype(jnp.float32), 0.0)
+    nsum = jax.ops.segment_sum(normals * w[:, None], seg0, num_segments=N + 1)
+    nmean = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
+    agree = jnp.einsum(
+        "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, N - 1)], precision="highest"
+    )
+    secondary = (agree <= min_cosine) & valid
+
+    seg = jnp.where(seg0 < N, seg0 * 2 + secondary.astype(jnp.int32), C)
+    w = jnp.where(seg < C, weights.astype(jnp.float32), 0.0)
+
+    cnt = jax.ops.segment_sum(w, seg, num_segments=C + 1)
+    occ = jax.ops.segment_sum(
+        jnp.where(seg < C, occurences, 0), seg, num_segments=C + 1
+    )
+    psum = jax.ops.segment_sum(points * w[:, None], seg, num_segments=C + 1)
+    csum = jax.ops.segment_sum(colors * w[:, None], seg, num_segments=C + 1)
+    n2sum = jax.ops.segment_sum(normals * w[:, None], seg, num_segments=C + 1)
+
+    denom = jnp.maximum(cnt[:, None], 1e-12)
+    mean_pts = (psum / denom)[:C]
+    mean_clr = (csum / denom)[:C]
+    mean_nrm = n2sum[:C]
+    mean_nrm = mean_nrm / jnp.maximum(
+        jnp.linalg.norm(mean_nrm, axis=-1, keepdims=True), 1e-12
+    )
+    counts = jnp.round(cnt[:C]).astype(jnp.int32)
+    cell_of_input = jnp.where(seg < C, seg, -1).astype(jnp.int32)
+    return MergeResult(
+        mean_pts, mean_nrm, mean_clr, counts, occ[:C].astype(jnp.int32),
+        cell_of_input, C,
+    )
+
+
 def patch_sparsify(
     points: jax.Array,
     normals: jax.Array,
@@ -75,63 +166,11 @@ def patch_sparsify(
       at most one primary + one secondary cell per pixel).
     """
     HW = height * width
-    C = 2 * HW
-
-    big = jnp.float32(3.0e38)
-    pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
-    vox = jnp.floor((points - pmin) / radius).astype(jnp.int32)
-    vox = jnp.maximum(vox, 0)
-    # never linearize the voxel coordinate: a flat key overflows int32 for
-    # large frame extents (FOV > 90 deg can exceed the frustum-diameter
-    # heuristic) and its INT32_MAX value would alias the invalid sentinel.
-    # A 3-key lexicographic sort groups identical voxels with no key range
-    # limits; invalid pixels carry INT32_MAX in every coordinate (real voxel
-    # coordinates are frame-extent-bounded and can never reach it).
-    kx = jnp.where(valid, vox[:, 0], INT32_MAX)
-    ky = jnp.where(valid, vox[:, 1], INT32_MAX)
-    kz = jnp.where(valid, vox[:, 2], INT32_MAX)
-
-    # sort pixels by voxel coordinate -> dense run ids via prefix sum
-    ids = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)[:, 0]
-    sx, sy, sz, sidx = jax.lax.sort((kx, ky, kz, ids), num_keys=3)
-    newrun = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
-        ]
-    ) & (sx != INT32_MAX)
-    runid_sorted = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # -1 before 1st run
-    seg_of_pixel = jnp.zeros((HW,), jnp.int32).at[sidx].set(runid_sorted)
-    seg0 = jnp.where(valid & (seg_of_pixel >= 0), seg_of_pixel, HW)
-
-    # pass 1: voxel mean normal -> secondary split for disagreeing normals
-    w1 = (seg0 < HW).astype(jnp.float32)
-    nsum = jax.ops.segment_sum(normals * w1[:, None], seg0, num_segments=HW + 1)
-    nmean = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
-    agree = jnp.einsum(
-        "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, HW - 1)], precision="highest"
+    ones = jnp.ones((HW,), jnp.int32)
+    m = voxel_merge(points, normals, colors, ones, ones, valid, radius, min_cosine)
+    return SparsifyResult(
+        m.points, m.normals, m.colors, m.counts, m.cell_of_input, m.num_cells
     )
-    secondary = (agree <= min_cosine) & valid
-
-    seg = jnp.where(seg0 < HW, seg0 * 2 + secondary.astype(jnp.int32), C)
-
-    ones = (seg < C).astype(jnp.float32)
-    cnt = jax.ops.segment_sum(ones, seg, num_segments=C + 1)
-    psum = jax.ops.segment_sum(points * ones[:, None], seg, num_segments=C + 1)
-    csum = jax.ops.segment_sum(colors * ones[:, None], seg, num_segments=C + 1)
-    n2sum = jax.ops.segment_sum(normals * ones[:, None], seg, num_segments=C + 1)
-
-    denom = jnp.maximum(cnt[:, None], 1.0)
-    mean_pts = (psum / denom)[:C]
-    mean_clr = (csum / denom)[:C]
-    mean_nrm = n2sum[:C]
-    mean_nrm = mean_nrm / jnp.maximum(
-        jnp.linalg.norm(mean_nrm, axis=-1, keepdims=True), 1e-12
-    )
-    counts = cnt[:C].astype(jnp.int32)
-    cell_of_pixel = jnp.where(seg < C, seg, -1).astype(jnp.int32)
-
-    return SparsifyResult(mean_pts, mean_nrm, mean_clr, counts, cell_of_pixel, C)
 
 
 def compact_slots(counts: jax.Array) -> tuple[jax.Array, jax.Array]:

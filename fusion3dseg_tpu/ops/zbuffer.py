@@ -96,6 +96,72 @@ def packed_pmin(
     return jax.ops.segment_min(packed, pix, num_segments=npix + 1)[:npix]
 
 
+def packed_pmin_gid_sharded(
+    u: jax.Array,
+    v: jax.Array,
+    z: jax.Array,
+    gids: jax.Array,
+    valid: jax.Array,
+    height: int,
+    width: int,
+    nsub: int,
+    id_bits: int = 20,
+    z_bits: int | None = None,
+    max_depth: float = 10.0,
+) -> jax.Array:
+    """Packed z-buffer for > 2^id_bits point ids: gid-RANGE sharding.
+
+    Sub-buffer s owns global ids [s << id_bits, (s+1) << id_bits); every
+    point scatters into segment (gid >> id_bits) * npix + pix, so the packed
+    low bits ARE the gid's low bits — intra-sub depth ties break by global
+    id EXACTLY (unlike slice-position sharding), and the cross-sub combine
+    reconstructs full gids arithmetically with zero gathers. One scatter of
+    len(u) updates into nsub * (height*width) + 1 segments (scatter cost is
+    per-update, not per-table — measured flat from 256 to 49k segments).
+
+    Returns pmin [nsub, height*width] int32; INT32_MAX = empty. Winner of
+    sub s at a pixel has gid = (pmin & ((1<<id_bits)-1)) + (s << id_bits),
+    quantized depth pmin >> id_bits.
+    """
+    z_bits = min(z_bits if z_bits is not None else 11, 31 - id_bits)
+    scale = float(1 << z_bits) / max_depth
+    npix = height * width
+    ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    pix = v * width + u
+    seg = jnp.where(ok, (gids >> id_bits) * npix + pix, nsub * npix)
+    zq = jnp.clip(z * scale, 0, (1 << z_bits) - 1).astype(jnp.int32)
+    packed = jnp.where(
+        ok, (zq << id_bits) | (gids & ((1 << id_bits) - 1)), INT32_MAX
+    )
+    pmin = jax.ops.segment_min(packed, seg, num_segments=nsub * npix + 1)
+    return pmin[: nsub * npix].reshape(nsub, npix)
+
+
+def lex_combine_gid_sharded(
+    pmin_sub: jax.Array, id_bits: int = 20, z_bits: int = 11
+) -> tuple[jax.Array, jax.Array]:
+    """Combine gid-range-sharded sub-buffers into global winners.
+
+    Lexicographic (quantized depth, global id) min across the sub axis —
+    the exact spec rule (nearest wins, ties -> lowest point id).
+
+    Returns (win_gid [npix] int32 — garbage where empty, has [npix] bool).
+    """
+    nsub = pmin_sub.shape[0]
+    valid = pmin_sub != INT32_MAX
+    zq = jnp.where(valid, pmin_sub >> id_bits, 1 << z_bits)
+    sub_base = (
+        jax.lax.broadcasted_iota(jnp.int32, pmin_sub.shape, 0) << id_bits
+    )
+    gid = jnp.where(
+        valid, (pmin_sub & ((1 << id_bits) - 1)) + sub_base, INT32_MAX
+    )
+    zmin = jnp.min(zq, axis=0)
+    tied = valid & (zq == zmin[None])
+    win_gid = jnp.min(jnp.where(tied, gid, INT32_MAX), axis=0)
+    return win_gid, jnp.any(valid, axis=0)
+
+
 def zbuffer_uv2pt_packed(
     u: jax.Array,
     v: jax.Array,

@@ -1,1 +1,1 @@
-from fusion3dseg_tpu.parallel import label_fuse, sharding, voting  # noqa: F401
+from fusion3dseg_tpu.parallel import fusion, label_fuse, sharding, voting  # noqa: F401

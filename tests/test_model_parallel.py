@@ -155,3 +155,74 @@ class TestNative:
         assert lines[0] == "VIDs"
         sizes = sorted(int(l.split(",")[0]) for l in lines[1:])
         assert sizes == [30, 30]
+
+
+class TestShardedFusion:
+    def test_sharded_fusion_engine_matches_sequential(self):
+        """Frame-chunk-sharded fusion (parallel/fusion.py) vs the
+        single-device scan: statistical parity (voxel-merge reconciliation),
+        checked by cloud coverage, size bounds, and per-pixel label
+        agreement through the uv2pt artifacts."""
+        from fusion3dseg_tpu.fusion import fusion as fusion_engine
+        from fusion3dseg_tpu.io import rtab, synthetic
+        from fusion3dseg_tpu.parallel.fusion import fuse_session_sharded
+
+        mesh = sharding.make_mesh(8, tp=1)
+        h, w = 48, 36
+        sess = synthetic.make_session(nframes=16, depth_hw=(h, w))
+        sd = rtab.SessionData.from_arrays(
+            sess.colors, sess.depth, sess.K,
+            sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+        )
+        valid = (sd.depth > 0.1) & (sd.depth <= 8.0)
+        radius, cone = 0.08, float(np.cos(np.deg2rad(20.0)))
+        args = (
+            jnp.asarray(sd.Ks, jnp.float32), jnp.asarray(sd.quats_wxyz),
+            jnp.asarray(sd.translations), jnp.asarray(sd.points),
+            jnp.asarray(sd.normals), jnp.asarray(sd.colors),
+        )
+        kw = dict(height=h, width=w, radius=radius, min_cosine=cone,
+                  max_depth=8.0, capacity=1 << 13)
+        state1, uv1 = fusion_engine.fuse_session(
+            *args[:6], jnp.asarray(sd.depth), jnp.asarray(valid),
+            stride=10, **kw,
+        )
+        stateS, uvS = fuse_session_sharded(
+            mesh, *args, jnp.asarray(valid), **kw,
+        )
+        n1, nS = int(state1.n), int(stateS.n)
+        assert nS > 0 and n1 > 0
+        # size parity up to cross-chunk voxel re-binning
+        assert 0.6 * n1 < nS < 1.7 * n1, (n1, nS)
+
+        p1 = np.asarray(state1.points[:n1])
+        pS = np.asarray(stateS.points[:nS])
+        # coverage: every sequential point has a merged point nearby
+        d2 = ((p1[:, None, :] - pS[None, :, :]) ** 2).sum(-1)
+        dmin = np.sqrt(d2.min(axis=1))
+        assert np.percentile(dmin, 99) < 2 * np.sqrt(3) * radius, (
+            np.percentile(dmin, 99)
+        )
+
+        # uv2pt contract + downstream label agreement through GT masks
+        uvS_np = np.asarray(uvS)
+        assert uvS_np.dtype == np.int32 and uvS_np.shape == (16, h * w)
+        assert uvS_np.max() < nS and uvS_np.min() >= -1
+        masks = sess.gt_mask.reshape(16, -1)
+        from fusion3dseg_tpu.ops import voting
+
+        _, c1 = voting.vote_and_classify(
+            jnp.asarray(np.asarray(uv1)), jnp.asarray(masks), npts=n1,
+            nclasses=133, threshold=0.5, dedup=True,
+        )
+        _, cS = voting.vote_and_classify(
+            jnp.asarray(uvS_np), jnp.asarray(masks), npts=nS,
+            nclasses=133, threshold=0.5, dedup=True,
+        )
+        c1, cS = np.asarray(c1), np.asarray(cS)
+        img1 = np.where(np.asarray(uv1) >= 0, c1[np.clip(np.asarray(uv1), 0, n1 - 1)], -1)
+        imgS = np.where(uvS_np >= 0, cS[np.clip(uvS_np, 0, nS - 1)], -1)
+        both = (img1 >= 0) & (imgS >= 0)
+        assert both.mean() > 0.3, both.mean()
+        agree = (img1[both] == imgS[both]).mean()
+        assert agree > 0.9, agree
