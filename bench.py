@@ -124,6 +124,9 @@ def main():
                     help="disable the view-coherent culling index")
     ap.add_argument("--no-fusion-stat", action="store_true",
                     help="skip the secondary fusion-engine measurement")
+    ap.add_argument("--no-e2e-stat", action="store_true",
+                    help="skip the end-to-end pipeline measurement "
+                         "(fuse + adjacency + vote + split + merge_bb)")
     ap.add_argument("--seg2d-stat", action="store_true",
                     help="also measure 2D-inference throughput (adds ~2 min "
                          "of model compile through the remote-compile tunnel)")
@@ -267,6 +270,7 @@ def main():
     # secondary: full fusion-engine throughput (dense RGB-D frames -> sparse
     # cloud + uv2pt, the process3DSeg hot path) on a production-shape session
     fusion_fps = None
+    e2e = {}
     if not args.no_fusion_stat:
         from fusion3dseg_tpu.fusion import fusion as fusion_engine
         from fusion3dseg_tpu.io import rtab, synthetic
@@ -283,9 +287,10 @@ def main():
             jnp.asarray(sd.normals), jnp.asarray(sd.colors),
             jnp.asarray(sd.depth), jnp.asarray(fvalid),
         )
+        fcap = 1 << 17
         fkw = dict(height=256, width=192, stride=10, radius=0.05,
                    min_cosine=float(np.cos(np.deg2rad(10.0))), max_depth=8.0,
-                   capacity=1 << 17)
+                   capacity=fcap)
         state, _ = fusion_engine.fuse_session(*fargs, **fkw)
         int(np.asarray(state.n))  # sync (compile run)
         t0 = time.perf_counter()
@@ -293,6 +298,54 @@ def main():
         int(np.asarray(state.n))
         fusion_fps = 48 / (time.perf_counter() - t0)
         log(f"fusion engine: {fusion_fps:.1f} frames/s (256x192, cap 128k)")
+
+        # end-to-end pipeline wall time (BASELINE config-3 shape, SURVEY
+        # §3.3 call stack): fusion engine -> radius adjacency -> vote ->
+        # threshold classify -> instance split -> OBBs + bbox merge. One
+        # warmup pass compiles every stage; the reported time is a full
+        # second pass including all host<->device transfers and host steps.
+        if not args.no_e2e_stat:
+            import tempfile as _tf
+
+            from fusion3dseg_tpu.ops import components, neighbors, voting
+            from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
+
+            fmasks = jnp.asarray(fsess.gt_mask.reshape(48, -1))
+
+            def e2e_once(outdir):
+                st, uv2pt = fusion_engine.fuse_session(*fargs, **fkw)
+                n = int(np.asarray(st.n))
+                pts = np.asarray(st.points[:n])
+                adj = neighbors.radius_graph(
+                    jnp.asarray(pts), 2 * fkw["radius"], k=32
+                )
+                votes_e, classes_e = voting.vote_and_classify(
+                    uv2pt, fmasks, fcap, args.nclasses, threshold=0.5,
+                    filter_classes=None,
+                )
+                classes_np = np.asarray(classes_e[:n])
+                _, ids_e, info_e, _ = components.split_into_instances(
+                    classes_np, adj, args.nclasses, None, 100
+                )
+                for inf in info_e:  # minimal parent taxonomy for the merge
+                    inf["parent_id"] = inf["category_id"]
+                info_m, ids_m = merge_bb(outdir, info_e, ids_e, pts,
+                                         verbose=False)
+                return n, len(info_e), len(info_m)
+
+            with _tf.TemporaryDirectory() as td:
+                e2e_once(td)  # compile warmup
+                t0 = time.perf_counter()
+                n_pts, n_inst, n_merged = e2e_once(td)
+                e2e_dt = time.perf_counter() - t0
+            log(f"e2e pipeline: {e2e_dt:.2f}s for 48 frames -> {n_pts} pts, "
+                f"{n_inst} instances -> {n_merged} after bbox merge")
+            e2e = {
+                "e2e_pipeline_seconds": round(e2e_dt, 3),
+                "e2e_frames_per_sec": round(48 / e2e_dt, 2),
+                "e2e_points": n_pts,
+                "e2e_instances": n_inst,
+            }
 
     # secondary: batched 2D segmentation inference throughput (the model in
     # the OneFormer slot; BASELINE config 4's streaming-mask producer)
@@ -339,6 +392,7 @@ def main():
         "seg2d_images_per_sec": (
             round(seg2d_fps, 1) if seg2d_fps is not None else None
         ),
+        **e2e,
     }
     print(json.dumps(result), flush=True)
 

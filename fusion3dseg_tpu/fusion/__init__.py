@@ -1,7 +1,9 @@
 from fusion3dseg_tpu.fusion.fusion import (  # noqa: F401
     Fusion,
     FusionState,
+    fuse_chunk,
     fuse_session,
+    fuse_session_checkpointed,
     fuse_sessions_batch,
     load_state,
     save_state,

@@ -330,6 +330,128 @@ def fuse_session(
 @partial(
     jax.jit,
     static_argnames=(
+        "height", "width", "radius", "min_cosine", "max_depth", "capacity",
+        "candidate_px",
+    ),
+)
+def fuse_chunk(
+    state: FusionState,
+    Ks, quats_wxyz, translations, points, normals, colors, valid,
+    *, height, width, radius, min_cosine, max_depth, capacity,
+    candidate_px: int = 1,
+) -> Tuple[FusionState, jax.Array]:
+    """Continue fusion over a CHUNK of frames from an existing state.
+
+    The building block of mid-scan checkpointing: fuse_session == seed +
+    fuse_chunk over frames 1..F-1 in any chunking (the scan step is
+    identical, so chunk boundaries do not change the math — resume is
+    bit-exact). Returns (state, uv2pt [chunk, H*W])."""
+    kw = dict(
+        height=height, width=width, radius=radius,
+        min_cosine=min_cosine, max_depth=max_depth, capacity=capacity,
+    )
+
+    def step(st, frame):
+        q, t, fp, fn, fc, fv = frame
+        return _fuse_frame(
+            st, q, t, fp, fn, fc, fv, Ks=Ks, candidate_px=candidate_px, **kw
+        )
+
+    return jax.lax.scan(
+        step, state,
+        (quats_wxyz, translations, points, normals, colors, valid),
+    )
+
+
+def fuse_session_checkpointed(
+    Ks, quats_wxyz, translations, points, normals, colors, depth, valid,
+    *, height, width, radius, min_cosine, max_depth, capacity,
+    candidate_px: int = 1, chunk_frames: int = 64, ckpt_dir,
+    max_chunks: Optional[int] = None, verbose: bool = False,
+) -> Tuple[FusionState, np.ndarray]:
+    """Checkpointed session fusion: scan in chunks, persist after each.
+
+    The reference's only checkpointing is whole-stage artifacts (SURVEY.md
+    §5); multi-thousand-frame sessions that die mid-fuse must restart from
+    frame 0. Here the scan is segmented into `chunk_frames`-frame jitted
+    chunks (one compile per distinct chunk length — at most two: full and
+    remainder); after each chunk the FusionState (orbax) plus the chunk's
+    uv2pt rows and a progress marker land in `ckpt_dir`. A rerun with the
+    same ckpt_dir resumes from the marker BIT-EXACTLY (the chunked scan is
+    the same op sequence as the one-shot fuse_session scan).
+
+    Args mirror fuse_session (host or device arrays); `max_chunks` bounds
+    how many chunks to run this call (for tests / cooperative yielding).
+
+    Returns (state, uv2pt [F, H*W] int32 numpy). If interrupted (max_chunks),
+    returns the partial state and the uv2pt rows fused so far.
+    """
+    import json as _json
+    from pathlib import Path
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    marker = ckpt_dir / "progress.json"
+    F = int(np.asarray(quats_wxyz).shape[0])
+    kw = dict(height=height, width=width, radius=radius,
+              min_cosine=min_cosine, max_depth=max_depth, capacity=capacity)
+
+    if marker.is_file():
+        prog = _json.loads(marker.read_text())
+        if prog.get("nframes") != F or prog.get("capacity") != capacity:
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} is for a different session "
+                f"(nframes {prog.get('nframes')} vs {F}, capacity "
+                f"{prog.get('capacity')} vs {capacity}) — clear it first"
+            )
+        nxt = int(prog["next_frame"])
+        state = load_state(ckpt_dir)
+        if verbose:
+            print(f"resuming fusion at frame {nxt}/{F}")
+    else:
+        state, uv2pt0 = _seed_frame(
+            state=_empty_state(capacity),
+            fpts=jnp.asarray(points[0]), fnrm=jnp.asarray(normals[0]),
+            fclr=jnp.asarray(colors[0]), fvalid=jnp.asarray(valid[0]), **kw,
+        )
+        np.save(ckpt_dir / "uv2pt_0000000.npy", np.asarray(uv2pt0[None]))
+        save_state(state, ckpt_dir)
+        marker.write_text(_json.dumps(
+            {"next_frame": 1, "nframes": F, "capacity": capacity}
+        ))
+        nxt = 1
+
+    chunks_run = 0
+    while nxt < F and (max_chunks is None or chunks_run < max_chunks):
+        end = min(nxt + chunk_frames, F)
+        sl = slice(nxt, end)
+        state, uv2pt_c = fuse_chunk(
+            state, jnp.asarray(Ks, jnp.float32),
+            jnp.asarray(quats_wxyz[sl]), jnp.asarray(translations[sl]),
+            jnp.asarray(points[sl]), jnp.asarray(normals[sl]),
+            jnp.asarray(colors[sl]), jnp.asarray(valid[sl]),
+            candidate_px=candidate_px, **kw,
+        )
+        np.save(ckpt_dir / f"uv2pt_{nxt:07d}.npy", np.asarray(uv2pt_c))
+        save_state(state, ckpt_dir)
+        marker.write_text(_json.dumps(
+            {"next_frame": end, "nframes": F, "capacity": capacity}
+        ))
+        if verbose:
+            print(f"fused frames [{nxt}, {end}) -> n={int(np.asarray(state.n))}")
+        nxt = end
+        chunks_run += 1
+
+    rows = []
+    for f in sorted(ckpt_dir.glob("uv2pt_*.npy")):
+        rows.append(np.load(f))
+    uv2pt = np.concatenate(rows, axis=0) if rows else np.zeros((0,), np.int32)
+    return state, uv2pt
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "height", "width", "stride", "radius", "min_cosine", "max_depth", "capacity",
     ),
 )

@@ -25,7 +25,8 @@ from fusion3dseg_tpu.io import artifacts
 from fusion3dseg_tpu.ops import obb as obb_ops
 
 
-def merge_bb(dir_name, info_sem: List[dict], id_info_per_point, pcd_points):
+def merge_bb(dir_name, info_sem: List[dict], id_info_per_point, pcd_points,
+             verbose: bool = True):
     """Merge same-parent instances with intersecting OBBs.
 
     Args:
@@ -94,10 +95,12 @@ def merge_bb(dir_name, info_sem: List[dict], id_info_per_point, pcd_points):
             info["bbox"] = corners2[k].tolist()
 
     dt = time.perf_counter() - t0
-    print(
-        f"Time taken for merging {len_before} to {len(new_info)} "
-        f"Bounding boxes = {dt} seconds"
-    )
+    if verbose:
+        # the reference's runtime telemetry (merge_intersecting_bb.py:130-131)
+        print(
+            f"Time taken for merging {len_before} to {len(new_info)} "
+            f"Bounding boxes = {dt} seconds"
+        )
     _dump(dir_name, new_info, ids)
     return new_info, ids
 

@@ -55,6 +55,47 @@ class TestMultiSession:
         np.testing.assert_array_equal(np.asarray(state.points), np.asarray(restored.points))
         assert int(state.n) == int(restored.n)
 
+    def test_midscan_checkpoint_resume_bitexact(self, tmp_path):
+        """A half-fused session resumed from its mid-scan checkpoint must
+        reproduce the one-shot scan bit-exactly (VERDICT r1 #10)."""
+        from fusion3dseg_tpu.fusion import fuse_session_checkpointed
+
+        args = _session_arrays(4, F=9)
+        ckw = {k: v for k, v in KW.items() if k != "stride"}
+        # one-shot reference
+        state_ref, uv_ref = fuse_session(*(jnp.asarray(x) for x in args), **KW)
+        # interrupted run: seed + 2 chunks of 3 frames, then stop
+        st_half, uv_half = fuse_session_checkpointed(
+            *args, chunk_frames=3, ckpt_dir=tmp_path, max_chunks=2, **ckw
+        )
+        assert uv_half.shape[0] == 7  # seed + 2*3 frames fused so far
+        # resume in a FRESH call (simulates a new process)
+        st, uv = fuse_session_checkpointed(
+            *args, chunk_frames=3, ckpt_dir=tmp_path, **ckw
+        )
+        np.testing.assert_array_equal(uv, np.asarray(uv_ref))
+        assert int(st.n) == int(state_ref.n)
+        np.testing.assert_array_equal(
+            np.asarray(st.points), np.asarray(state_ref.points)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st.nmerges), np.asarray(state_ref.nmerges)
+        )
+
+    def test_midscan_checkpoint_session_mismatch(self, tmp_path):
+        from fusion3dseg_tpu.fusion import fuse_session_checkpointed
+
+        args = _session_arrays(5, F=6)
+        ckw = {k: v for k, v in KW.items() if k != "stride"}
+        fuse_session_checkpointed(
+            *args, chunk_frames=4, ckpt_dir=tmp_path, max_chunks=1, **ckw
+        )
+        other = _session_arrays(5, F=8)
+        with pytest.raises(ValueError, match="different session"):
+            fuse_session_checkpointed(
+                *other, chunk_frames=4, ckpt_dir=tmp_path, **ckw
+            )
+
 
 class TestSegmentImageE2E:
     def test_masks_and_viz_written(self, tmp_path):
