@@ -270,6 +270,7 @@ def main():
     # secondary: full fusion-engine throughput (dense RGB-D frames -> sparse
     # cloud + uv2pt, the process3DSeg hot path) on a production-shape session
     fusion_fps = None
+    fusion_1m_fps = None
     e2e = {}
     if not args.no_fusion_stat:
         from fusion3dseg_tpu.fusion import fusion as fusion_engine
@@ -298,6 +299,18 @@ def main():
         int(np.asarray(state.n))
         fusion_fps = 48 / (time.perf_counter() - t0)
         log(f"fusion engine: {fusion_fps:.1f} frames/s (256x192, cap 128k)")
+
+        # large-capacity regime: 1M-slot buffer with the merge window bound
+        # to 128k slots (ROADMAP #10) — the capacity-scaling stat VERDICT r1
+        # asked to keep within ~1.5x of the 128k-cap number
+        fkw_1m = dict(fkw, capacity=1 << 20, window=1 << 17)
+        state, _ = fusion_engine.fuse_session(*fargs, **fkw_1m)
+        int(np.asarray(state.n))
+        t0 = time.perf_counter()
+        state, _ = fusion_engine.fuse_session(*fargs, **fkw_1m)
+        int(np.asarray(state.n))
+        fusion_1m_fps = 48 / (time.perf_counter() - t0)
+        log(f"fusion engine: {fusion_1m_fps:.1f} frames/s (cap 1M, window 128k)")
 
         # end-to-end pipeline wall time (BASELINE config-3 shape, SURVEY
         # §3.3 call stack): fusion engine -> radius adjacency -> vote ->
@@ -388,6 +401,9 @@ def main():
         "view_index_build_seconds": round(index_build_s, 2),
         "fusion_engine_frames_per_sec": (
             round(fusion_fps, 1) if fusion_fps is not None else None
+        ),
+        "fusion_engine_1m_cap_frames_per_sec": (
+            round(fusion_1m_fps, 1) if fusion_1m_fps is not None else None
         ),
         "seg2d_images_per_sec": (
             round(seg2d_fps, 1) if seg2d_fps is not None else None

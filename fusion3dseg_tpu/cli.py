@@ -105,6 +105,12 @@ def main(argv=None):
     s.add_argument("--mask-dir", default=None)
     s.add_argument("--input-size", type=int, default=256)
     s.add_argument("--model", choices=["b0", "b1", "b2"], default="b0")
+    s.add_argument("--appearance", choices=["flat", "textured"], default="flat",
+                   help="synthetic-dataset appearance (textured = per-session "
+                        "palettes + textures + lighting)")
+    s.add_argument("--eval-miou", action="store_true",
+                   help="after training, report held-out mIoU/pixel-acc on "
+                        "fresh textured sessions")
 
     s = sub.add_parser("all", help="full pipeline: ingest -> seg2d -> fuse -> seg3d")
     s.add_argument("export_dir")
@@ -224,6 +230,7 @@ def main(argv=None):
             steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
             checkpoint_dir=args.checkpoint_dir,
             input_hw=(args.input_size, args.input_size),
+            appearance=args.appearance,
         )
         ds = None
         if args.rgb_dir and args.mask_dir:
@@ -232,6 +239,18 @@ def main(argv=None):
             )
         _, loss = train(cfg, dataset=ds)
         print(f"final loss: {loss}")
+        if args.eval_miou and args.checkpoint_dir:
+            from fusion3dseg_tpu.models.train import evaluate_synthetic
+            from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+            seg = Segmenter2D(
+                config=SegFormerConfig.named(args.model),
+                checkpoint_dir=args.checkpoint_dir,
+                input_hw=cfg.input_hw, batch_size=args.batch_size,
+            )
+            stats = evaluate_synthetic(seg, appearance=args.appearance)
+            print(f"held-out miou: {stats['miou']:.4f} "
+                  f"pixel_acc: {stats['pixel_acc']:.4f}")
 
     elif args.cmd == "all":
         from pathlib import Path

@@ -110,9 +110,23 @@ def _fuse_frame(
     state: FusionState,
     q, t, fpts, fnrm, fclr, fvalid,
     *, Ks, height, width, radius, min_cosine, max_depth, capacity,
-    candidate_px,
+    candidate_px, window: Optional[int] = None,
 ) -> Tuple[FusionState, jax.Array]:
-    """One fusion step: merge a new frame into the sparse buffer."""
+    """One fusion step: merge a new frame into the sparse buffer.
+
+    `window` (static) bounds the scatter/segment work to a dynamic W-slot
+    slice of the buffer instead of all `capacity` slots (ROADMAP #10): the
+    buffer is appended in view order, so one frame's visible slots cluster
+    in a contiguous id range (same observation as the label-fuse view
+    index). Projection + culling stay O(capacity) — those are cheap
+    elementwise/matmul passes — while the z-buffer scatters and the merge
+    segment-sums (the capacity-bound cost) shrink to O(window). Visible
+    slots outside the window (span > window, e.g. at loop closure) miss
+    their merge and re-append a duplicate — the same quality trade the
+    reference makes with its frame-skip/decimation knobs; pick window >=
+    the visible-span high-water mark (see visible_span_from_uv2pt) to
+    avoid it entirely.
+    """
     P = height * width
     # candidate-grid cell size in pixels: must track the SPARSE point
     # spacing (~radius in world units, a few px), not the reference's
@@ -138,21 +152,41 @@ def _fuse_frame(
     u, v, z = camera.project_points(state.points, Ks, q, t)
     ok = inter & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
 
+    # window selection: cover the visible slot range; if it exceeds W,
+    # prefer the NEWEST slots (freshly appended geometry is the most likely
+    # to re-match; old slots resurface only at loop closure)
+    W = capacity if (window is None or window >= capacity) else int(window)
+    if W < capacity:
+        vis = jnp.where(ok, slot_ids, capacity)
+        minv = jnp.min(vis)
+        maxv = jnp.max(jnp.where(ok, slot_ids, -1))
+        w0 = jnp.clip(jnp.maximum(minv, maxv - W + 1), 0, capacity - W)
+        pts_w = jax.lax.dynamic_slice(state.points, (w0, 0), (W, 3))
+        nrm_w = jax.lax.dynamic_slice(state.normals, (w0, 0), (W, 3))
+        u_w = jax.lax.dynamic_slice(u, (w0,), (W,))
+        v_w = jax.lax.dynamic_slice(v, (w0,), (W,))
+        z_w = jax.lax.dynamic_slice(z, (w0,), (W,))
+        ok_w = jax.lax.dynamic_slice(ok, (w0,), (W,))
+    else:
+        w0 = jnp.int32(0)
+        pts_w, nrm_w = state.points, state.normals
+        u_w, v_w, z_w, ok_w = u, v, z, ok
+
     # 3a. z-buffer sparse points into the coarse candidate grid. Packed
     # depth+slot single segment_min (one scatter instead of two — scatters
     # dominate at capacity ~1M; see ops/zbuffer.zbuffer_uv2pt_packed).
     # 11-bit depth quantization over max_depth (~5mm at 10m) only affects
     # which of several VERY close sparse points becomes the cell candidate.
-    # capacity.bit_length() (not capacity-1) keeps one spare id value so a
-    # max-depth-bin point in the last slot can never pack to INT32_MAX and
-    # alias the empty-cell sentinel
-    id_bits = max(1, capacity.bit_length())
+    # W.bit_length() (not W-1) keeps one spare id value so a max-depth-bin
+    # point in the last slot can never pack to INT32_MAX and alias the
+    # empty-cell sentinel. Candidate ids below are WINDOW-LOCAL.
+    id_bits = max(1, W.bit_length())
     zbits = 31 - id_bits
-    cell = jnp.where(ok, (v // half) * gw + (u // half), ncells)
+    cell = jnp.where(ok_w, (v_w // half) * gw + (u_w // half), ncells)
     if zbits >= 8:
-        slot32 = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-        zq = jnp.clip(z * ((1 << zbits) / max_depth), 0, (1 << zbits) - 1).astype(jnp.int32)
-        packed = jnp.where(ok, (zq << id_bits) | slot32, INT32_MAX)
+        slot32 = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
+        zq = jnp.clip(z_w * ((1 << zbits) / max_depth), 0, (1 << zbits) - 1).astype(jnp.int32)
+        packed = jnp.where(ok_w, (zq << id_bits) | slot32, INT32_MAX)
         pmin = jax.ops.segment_min(packed, cell, num_segments=ncells + 1)[:ncells]
         cand_of_cell = jnp.where(pmin == INT32_MAX, -1, pmin & ((1 << id_bits) - 1))
         # second candidate per cell: exclude the first winners and re-min.
@@ -161,24 +195,24 @@ def _fuse_frame(
         # candidates per cell x the 3x3 neighborhood gives 18 merge
         # candidates per pixel.
         cell_safe = jnp.clip(cell, 0, ncells - 1)
-        is_winner = ok & (packed == pmin[cell_safe])
+        is_winner = ok_w & (packed == pmin[cell_safe])
         packed2 = jnp.where(is_winner, INT32_MAX, packed)
         pmin2 = jax.ops.segment_min(packed2, cell, num_segments=ncells + 1)[:ncells]
         cand2_of_cell = jnp.where(
             pmin2 == INT32_MAX, -1, pmin2 & ((1 << id_bits) - 1)
         )
     else:
-        # capacity too large for packed depth+slot int32 entries: fall back
+        # window too large for packed depth+slot int32 entries: fall back
         # to two scatter_argmin rounds (4 scatters instead of 2) so large-
         # capacity runs keep BOTH depth-ordered candidates per cell — a
         # single candidate starves matching (87% occurences==1, measured;
         # see the dual-candidate rationale above).
-        zc = jnp.where(ok, z, jnp.inf)
+        zc = jnp.where(ok_w, z_w, jnp.inf)
         winner = zbuffer.scatter_argmin_by_segment(zc, cell, ncells + 1)[:ncells]
         cand_of_cell = jnp.where(winner == INT32_MAX, -1, winner)
         cell_safe = jnp.clip(cell, 0, ncells - 1)
-        slot32 = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-        is_winner = ok & (slot32 == cand_of_cell[cell_safe])
+        slot32 = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
+        is_winner = ok_w & (slot32 == cand_of_cell[cell_safe])
         winner2 = zbuffer.scatter_argmin_by_segment(
             jnp.where(is_winner, jnp.inf, zc), cell, ncells + 1
         )[:ncells]
@@ -205,8 +239,14 @@ def _fuse_frame(
 
     cmask = cand >= 0
     cand_safe = jnp.where(cmask, cand, 0)
-    cpts = state.points[cand_safe]  # [P, 18, 3]: 3x3 cells x 2 candidates
-    cnrm = state.normals[cand_safe]
+    if W < capacity:
+        clr_w = jax.lax.dynamic_slice(state.colors, (w0, 0), (W, 3))
+        nm_w = jax.lax.dynamic_slice(state.nmerges, (w0,), (W,))
+        occ_w = jax.lax.dynamic_slice(state.occurences, (w0,), (W,))
+    else:
+        clr_w, nm_w, occ_w = state.colors, state.nmerges, state.occurences
+    cpts = pts_w[cand_safe]  # [P, 18, 3]: 3x3 cells x 2 candidates
+    cnrm = nrm_w[cand_safe]
     dist = jnp.linalg.norm(fpts[:, None, :] - cpts, axis=-1)
     cosn = jnp.sum(fnrm[:, None, :] * cnrm, axis=-1)
     passes = cmask & (dist < radius) & (cosn > min_cosine) & fvalid[:, None]
@@ -214,27 +254,38 @@ def _fuse_frame(
     best = jnp.argmin(dist, axis=-1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
     matched = jnp.any(passes, axis=-1)
-    match = jnp.where(matched, cand[rows, best], -1)  # [P] sparse slot or -1
+    match = jnp.where(matched, cand[rows, best], -1)  # [P] window-local slot or -1
 
     # 4. merge matched dense pixels into their sparse slots (running mean of
     #    this frame's matches + the current sparse value, fusion.py:288-295)
-    mseg = jnp.where(matched, match, capacity)
+    mseg = jnp.where(matched, match, W)
     mw = matched.astype(jnp.float32)
-    cnt = jax.ops.segment_sum(mw, mseg, num_segments=capacity + 1)[:capacity]
-    spt = jax.ops.segment_sum(fpts * mw[:, None], mseg, num_segments=capacity + 1)[:capacity]
-    scl = jax.ops.segment_sum(fclr * mw[:, None], mseg, num_segments=capacity + 1)[:capacity]
-    snr = jax.ops.segment_sum(fnrm * mw[:, None], mseg, num_segments=capacity + 1)[:capacity]
+    cnt = jax.ops.segment_sum(mw, mseg, num_segments=W + 1)[:W]
+    spt = jax.ops.segment_sum(fpts * mw[:, None], mseg, num_segments=W + 1)[:W]
+    scl = jax.ops.segment_sum(fclr * mw[:, None], mseg, num_segments=W + 1)[:W]
+    snr = jax.ops.segment_sum(fnrm * mw[:, None], mseg, num_segments=W + 1)[:W]
 
     touched = cnt > 0
     denom = (cnt + 1.0)[:, None]
-    new_pts = jnp.where(touched[:, None], (spt + state.points) / denom, state.points)
-    new_clr = jnp.where(touched[:, None], (scl + state.colors) / denom, state.colors)
-    nsum = snr + state.normals
+    new_pts = jnp.where(touched[:, None], (spt + pts_w) / denom, pts_w)
+    new_clr = jnp.where(touched[:, None], (scl + clr_w) / denom, clr_w)
+    nsum = snr + nrm_w
     nnrm = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
-    new_nrm = jnp.where(touched[:, None], nnrm, state.normals)
-    new_nm = state.nmerges + cnt.astype(jnp.int32)
-    new_occ = state.occurences + touched.astype(jnp.int32)
-    state = FusionState(new_pts, new_nrm, new_clr, new_nm, new_occ, state.n)
+    new_nrm = jnp.where(touched[:, None], nnrm, nrm_w)
+    new_nm = nm_w + cnt.astype(jnp.int32)
+    new_occ = occ_w + touched.astype(jnp.int32)
+    if W < capacity:
+        state = FusionState(
+            jax.lax.dynamic_update_slice(state.points, new_pts, (w0, 0)),
+            jax.lax.dynamic_update_slice(state.normals, new_nrm, (w0, 0)),
+            jax.lax.dynamic_update_slice(state.colors, new_clr, (w0, 0)),
+            jax.lax.dynamic_update_slice(state.nmerges, new_nm, (w0,)),
+            jax.lax.dynamic_update_slice(state.occurences, new_occ, (w0,)),
+            state.n,
+        )
+        match = jnp.where(matched, w0 + match, -1)  # back to global slot ids
+    else:
+        state = FusionState(new_pts, new_nrm, new_clr, new_nm, new_occ, state.n)
 
     # 5. leftover pixels -> voxel-sparsify at the merge radius and append
     #    (the analog of the reference's 2x-stride leftover downsample,
@@ -261,7 +312,7 @@ def _fuse_frame(
     jax.jit,
     static_argnames=(
         "height", "width", "stride", "radius", "min_cosine", "max_depth",
-        "capacity", "candidate_px",
+        "capacity", "candidate_px", "window",
     ),
 )
 def fuse_session(
@@ -282,6 +333,7 @@ def fuse_session(
     max_depth: float,
     capacity: int,
     candidate_px: int = 1,
+    window: Optional[int] = None,
 ) -> Tuple[FusionState, jax.Array]:
     """Fuse a whole session in one compiled program.
 
@@ -311,7 +363,7 @@ def fuse_session(
         q, t, fp, fn, fc, fv = frame
         state, uv2pt = _fuse_frame(
             state, q, t, fp, fn, fc, fv, Ks=Ks,
-            candidate_px=candidate_px, **kw,
+            candidate_px=candidate_px, window=window, **kw,
         )
         return state, uv2pt
 
@@ -331,14 +383,14 @@ def fuse_session(
     jax.jit,
     static_argnames=(
         "height", "width", "radius", "min_cosine", "max_depth", "capacity",
-        "candidate_px",
+        "candidate_px", "window",
     ),
 )
 def fuse_chunk(
     state: FusionState,
     Ks, quats_wxyz, translations, points, normals, colors, valid,
     *, height, width, radius, min_cosine, max_depth, capacity,
-    candidate_px: int = 1,
+    candidate_px: int = 1, window: Optional[int] = None,
 ) -> Tuple[FusionState, jax.Array]:
     """Continue fusion over a CHUNK of frames from an existing state.
 
@@ -354,7 +406,8 @@ def fuse_chunk(
     def step(st, frame):
         q, t, fp, fn, fc, fv = frame
         return _fuse_frame(
-            st, q, t, fp, fn, fc, fv, Ks=Ks, candidate_px=candidate_px, **kw
+            st, q, t, fp, fn, fc, fv, Ks=Ks, candidate_px=candidate_px,
+            window=window, **kw
         )
 
     return jax.lax.scan(
@@ -366,7 +419,8 @@ def fuse_chunk(
 def fuse_session_checkpointed(
     Ks, quats_wxyz, translations, points, normals, colors, depth, valid,
     *, height, width, radius, min_cosine, max_depth, capacity,
-    candidate_px: int = 1, chunk_frames: int = 64, ckpt_dir,
+    candidate_px: int = 1, window: Optional[int] = None,
+    chunk_frames: int = 64, ckpt_dir,
     max_chunks: Optional[int] = None, verbose: bool = False,
 ) -> Tuple[FusionState, np.ndarray]:
     """Checkpointed session fusion: scan in chunks, persist after each.
@@ -430,7 +484,7 @@ def fuse_session_checkpointed(
             jnp.asarray(quats_wxyz[sl]), jnp.asarray(translations[sl]),
             jnp.asarray(points[sl]), jnp.asarray(normals[sl]),
             jnp.asarray(colors[sl]), jnp.asarray(valid[sl]),
-            candidate_px=candidate_px, **kw,
+            candidate_px=candidate_px, window=window, **kw,
         )
         np.save(ckpt_dir / f"uv2pt_{nxt:07d}.npy", np.asarray(uv2pt_c))
         save_state(state, ckpt_dir)
@@ -474,6 +528,23 @@ def fuse_sessions_batch(
     )
 
 
+def visible_span_from_uv2pt(uv2pt) -> np.ndarray:
+    """Per-frame matched-slot span [F] — a sizing diagnostic for `window`.
+
+    For each frame, the spread max-min+1 of the sparse slot ids its pixels
+    matched (uv2pt >= 0). The true visible span is slightly larger (it
+    includes culled-but-unmatched slots), so pad the high-water mark by
+    ~1.5x when choosing `window`. Frames with no matches report 0.
+    """
+    uv2pt = np.asarray(uv2pt)
+    spans = np.zeros(len(uv2pt), np.int64)
+    for f, row in enumerate(uv2pt):
+        hit = row[row >= 0]
+        if len(hit):
+            spans[f] = int(hit.max()) - int(hit.min()) + 1
+    return spans
+
+
 def save_state(state: FusionState, directory) -> None:
     """Checkpoint the fusion state (orbax) — resume interrupted sessions.
 
@@ -511,6 +582,7 @@ class Fusion:
     point_range: Optional[Tuple[float, float]] = None
     decimation: int = 1
     capacity: Optional[int] = 1 << 20  # None -> auto-size from the seed frame
+    window: Optional[int] = None  # bound per-frame merge work (ROADMAP #10)
     save_lookups: bool = True
     out_dir: Optional[str] = None
 
@@ -593,7 +665,7 @@ class Fusion:
             jnp.asarray(valid[sel]),
             height=h, width=w, stride=int(stride), radius=float(radius),
             min_cosine=min_cosine, max_depth=float(max_depth),
-            capacity=self.capacity,
+            capacity=self.capacity, window=self.window,
         )
         n = int(state.n)
         if n >= self.capacity:

@@ -1,1 +1,1 @@
-from fusion3dseg_tpu.io import artifacts, ply, rtab, synthetic  # noqa: F401
+from fusion3dseg_tpu.io import artifacts, ply, rtab, synthetic, tum  # noqa: F401

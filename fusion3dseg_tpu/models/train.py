@@ -34,12 +34,18 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
     seed: int = 0
+    appearance: str = "flat"  # synthetic-dataset appearance mode
 
 
 def synthetic_dataset(
-    hw: Tuple[int, int], batch_size: int, seed: int = 0, nframes_per_session: int = 32
+    hw: Tuple[int, int], batch_size: int, seed: int = 0,
+    nframes_per_session: int = 32, appearance: str = "flat",
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Infinite (images, masks) batches from procedural room sessions."""
+    """Infinite (images, masks) batches from procedural room sessions.
+
+    appearance="textured" draws a fresh palette/texture/light per session
+    (io/synthetic.py), so the model cannot bind color->class and must learn
+    spatial context — the honest training regime (ROADMAP #11)."""
     from fusion3dseg_tpu.io import synthetic
 
     import cv2
@@ -51,6 +57,7 @@ def synthetic_dataset(
             nframes=nframes_per_session,
             depth_hw=(96, 72),
             room=synthetic.RoomSpec(seed=int(rng.integers(1 << 30))),
+            appearance=appearance,
         )
         imgs = np.stack(
             [cv2.resize(c, (w, h), interpolation=cv2.INTER_LINEAR) for c in sess.colors]
@@ -107,6 +114,53 @@ def mean_iou(logits: np.ndarray, labels: np.ndarray, num_classes: int) -> float:
     return float(np.mean(ious)) if ious else 0.0
 
 
+def evaluate_synthetic(
+    segmenter,
+    nsessions: int = 4,
+    nframes: int = 16,
+    seed: int = 990_000,
+    appearance: str = "textured",
+    num_classes: int = 134,
+):
+    """Held-out evaluation: mean IoU + pixel accuracy of a Segmenter2D over
+    fresh sessions whose seeds never appear in training (training draws
+    seeds < 2^30; eval seeds start at 990_000_000 + seed).
+
+    Returns {"miou": float, "pixel_acc": float, "per_class_iou": dict}.
+    """
+    from fusion3dseg_tpu.io import synthetic
+
+    inter = np.zeros(num_classes, np.int64)
+    union = np.zeros(num_classes, np.int64)
+    correct = total = 0
+    for s in range(nsessions):
+        sess = synthetic.make_session(
+            nframes=nframes, depth_hw=(96, 72),
+            room=synthetic.RoomSpec(seed=990_000_000 + seed + s),
+            appearance=appearance,
+        )
+        gts = sess.gt_mask.astype(np.int64)
+        # predict_batch resizes through the model input and returns masks at
+        # the original resolution
+        preds = segmenter.predict_batch(sess.colors).astype(np.int64)
+        for c in range(num_classes):
+            p, g = preds == c, gts == c
+            inter[c] += (p & g).sum()
+            union[c] += (p | g).sum()
+        correct += (preds == gts).sum()
+        total += gts.size
+    present = union > 0
+    iou = inter[present] / union[present]
+    return {
+        "miou": float(iou.mean()),
+        "pixel_acc": float(correct / total),
+        "per_class_iou": {
+            int(c): float(i)
+            for c, i in zip(np.nonzero(present)[0], iou)
+        },
+    }
+
+
 def train(
     config: TrainConfig = TrainConfig(),
     dataset: Optional[Iterator] = None,
@@ -121,7 +175,10 @@ def train(
         rng=config.seed,
     )
     if dataset is None:
-        dataset = synthetic_dataset(config.input_hw, config.batch_size, config.seed)
+        dataset = synthetic_dataset(
+            config.input_hw, config.batch_size, config.seed,
+            appearance=config.appearance,
+        )
 
     loss = None
     t0 = time.perf_counter()

@@ -82,6 +82,39 @@ class TestMultiSession:
             np.asarray(st.nmerges), np.asarray(state_ref.nmerges)
         )
 
+    def test_windowed_fusion_matches_full(self):
+        """window >= the visible-slot span must reproduce the full merge
+        (ROADMAP #10 buffer windowing)."""
+        from fusion3dseg_tpu.fusion.fusion import (
+            fuse_session, visible_span_from_uv2pt,
+        )
+
+        args = _session_arrays(6, F=8)
+        kw = dict(KW, capacity=1 << 15)
+        st_full, uv_full = fuse_session(*(jnp.asarray(x) for x in args), **kw)
+        span_max = int(visible_span_from_uv2pt(uv_full).max())
+        w = 1 << max(span_max, 2).bit_length()  # next pow2 above the span
+        st_w, uv_w = fuse_session(
+            *(jnp.asarray(x) for x in args), window=w, **kw
+        )
+        assert int(st_w.n) == int(st_full.n)
+        agree = np.mean(np.asarray(uv_w) == np.asarray(uv_full))
+        assert agree >= 0.99, agree
+
+    def test_windowed_fusion_small_window_degrades_gracefully(self):
+        from fusion3dseg_tpu.fusion.fusion import fuse_session
+
+        args = _session_arrays(7, F=8)
+        kw = dict(KW, capacity=1 << 15)
+        st_full, _ = fuse_session(*(jnp.asarray(x) for x in args), **kw)
+        st_w, uv_w = fuse_session(
+            *(jnp.asarray(x) for x in args), window=256, **kw
+        )
+        # missed merges re-append: more points, never fewer; uv2pt stays valid
+        assert int(st_w.n) >= int(st_full.n)
+        uv = np.asarray(uv_w)
+        assert uv.max() < (1 << 15) and uv.min() >= -1
+
     def test_midscan_checkpoint_session_mismatch(self, tmp_path):
         from fusion3dseg_tpu.fusion import fuse_session_checkpointed
 
