@@ -57,6 +57,13 @@ class SegFormerConfig:
     # attention) — see docs/DESIGN.md. The kernel is kept as the base for
     # future masked/windowed variants XLA cannot fuse.
     use_pallas_attention: bool = False
+    # Per-stage neighborhood (sliding-window) attention window; 0 = use the
+    # stage's spatial-reduction attention. A NAT stage attends to full-
+    # resolution K/V in a window x window neighborhood (no 8x average-pool
+    # detail loss) via the fused Pallas kernel
+    # (ops/attention.neighborhood_attention) — the windowed variant XLA
+    # cannot fuse. E.g. (7, 0, 0, 0) for NAT stage 1.
+    nat_windows: Tuple[int, ...] = (0, 0, 0, 0)
 
     @staticmethod
     def b1() -> "SegFormerConfig":
@@ -119,13 +126,16 @@ class OverlapPatchEmbed(nn.Module):
 
 
 class EfficientAttention(nn.Module):
-    """Self-attention with spatial-reduction of K/V (SegFormer's SRA)."""
+    """Self-attention with spatial-reduction of K/V (SegFormer's SRA), or —
+    when nat_window > 0 — sliding-window neighborhood attention over
+    full-resolution K/V (fused Pallas kernel on TPU)."""
 
     dim: int
     heads: int
     sr_ratio: int
     dtype: Any
     use_pallas: bool = False
+    nat_window: int = 0
 
     @nn.compact
     def __call__(self, x, hw: Tuple[int, int]):
@@ -134,6 +144,20 @@ class EfficientAttention(nn.Module):
         head_dim = self.dim // self.heads
 
         q = _dense(self.dim, self.dtype, "q", (EMBED, HIDDEN))(x)
+
+        if self.nat_window > 0:
+            from fusion3dseg_tpu.ops.attention import neighborhood_attention
+
+            k = _dense(self.dim, self.dtype, "k", (EMBED, HIDDEN))(x)
+            v = _dense(self.dim, self.dtype, "v", (EMBED, HIDDEN))(x)
+            q = q.reshape(B, N, self.heads, head_dim)
+            k = k.reshape(B, N, self.heads, head_dim)
+            v = v.reshape(B, N, self.heads, head_dim)
+            rt = next(d for d in (16, 12, 8, 6, 4, 3, 2, 1) if h % d == 0)
+            out = neighborhood_attention(
+                q, k, v, h, w, window=self.nat_window, row_tile=rt
+            ).reshape(B, N, self.dim)
+            return _dense(self.dim, self.dtype, "proj", (HIDDEN, EMBED))(out)
 
         kv_in = x
         if self.sr_ratio > 1:
@@ -201,11 +225,13 @@ class Block(nn.Module):
     mlp_ratio: int
     dtype: Any
     use_pallas: bool = False
+    nat_window: int = 0
 
     @nn.compact
     def __call__(self, x, hw):
         x = x + EfficientAttention(
-            self.dim, self.heads, self.sr_ratio, self.dtype, self.use_pallas
+            self.dim, self.heads, self.sr_ratio, self.dtype, self.use_pallas,
+            self.nat_window,
         )(nn.LayerNorm(dtype=self.dtype)(x), hw)
         x = x + MixFFN(self.dim, self.mlp_ratio, self.dtype)(
             nn.LayerNorm(dtype=self.dtype)(x), hw
@@ -236,6 +262,7 @@ class SegFormer(nn.Module):
                 x = Block(
                     cfg.embed_dims[s], cfg.num_heads[s], cfg.sr_ratios[s],
                     cfg.mlp_ratio, cfg.dtype, cfg.use_pallas_attention,
+                    cfg.nat_windows[s] if s < len(cfg.nat_windows) else 0,
                     name=f"stage{s}_block{d}",
                 )(x, (h, w))
             x = nn.LayerNorm(dtype=cfg.dtype)(x)

@@ -95,3 +95,153 @@ def sr_attention(
         out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
     )(qh, kh, vh)
     return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood (sliding-window) attention — the masked/windowed variant XLA
+# cannot fuse (VERDICT r1 #9 / ROADMAP #5). Each query token attends to the
+# window x window spatial neighborhood around it, clamped (masked) at image
+# borders — NAT semantics (Hassani et al.), the natural high-resolution
+# stage-1 replacement for spatial-reduction attention: local detail is
+# preserved instead of 8x-average-pooled away.
+#
+# Why XLA can't do this well: the windowed score tensor requires either a
+# [N, window^2, D] gathered-key materialization (HBM traffic ~ window^2 x
+# the K tensor) or N tiny dynamic slices; neither reuses the overlap between
+# neighboring queries' windows. The Pallas kernel keeps the whole padded K/V
+# for one (batch, head) resident in VMEM (<= 4 MB for 256^2 x 64 bf16),
+# streams query row-tiles, and accumulates the window^2 shifted products
+# with an online softmax — every K/V element is read from HBM exactly once.
+# ---------------------------------------------------------------------------
+
+
+def neighborhood_attention_reference(q, k, v, height, width, window):
+    """Gather-based XLA reference (also the CPU path): q,k,v [B, N, H, D]
+    with N = height*width; returns [B, N, H, D]. Border windows are clamped
+    by masking (a corner token sees only its in-image neighbors)."""
+    B, N, Hh, D = q.shape
+    r = window // 2
+    scale = 1.0 / (D ** 0.5)
+    yy = jnp.arange(height)[:, None, None, None]
+    xx = jnp.arange(width)[None, :, None, None]
+    dy = jnp.arange(-r, r + 1)[None, None, :, None]
+    dx = jnp.arange(-r, r + 1)[None, None, None, :]
+    ny, nx = yy + dy, xx + dx
+    valid = (ny >= 0) & (ny < height) & (nx >= 0) & (nx < width)
+    idx = (jnp.clip(ny, 0, height - 1) * width + jnp.clip(nx, 0, width - 1))
+    idx = idx.reshape(N, window * window)
+    valid = valid.reshape(N, window * window)
+    kg = k[:, idx]  # [B, N, W2, H, D]
+    vg = v[:, idx]
+    s = jnp.einsum("bnhd,bnwhd->bnhw", q, kg).astype(jnp.float32) * scale
+    s = jnp.where(valid[None, :, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnhw,bnwhd->bnhd", p, vg)
+
+
+def _nat_kernel(q_ref, k_ref, v_ref, o_ref, *, height, width, window, th):
+    """One grid step: all window^2 shifted score/value accumulations for a
+    TH-row query stripe of one (batch*head), online-softmax in VMEM."""
+    r = window // 2
+    row0 = pl.program_id(1) * th
+
+    q = q_ref[0]  # [TH, W, D] (pre-scaled)
+    m = jnp.full((th, width), -jnp.inf, jnp.float32)
+    l = jnp.zeros((th, width), jnp.float32)
+    acc = jnp.zeros((th, width, q.shape[-1]), jnp.float32)
+
+    # global coordinates of this stripe's queries
+    qy = row0 + jax.lax.broadcasted_iota(jnp.int32, (th, width), 0)
+    qx = jax.lax.broadcasted_iota(jnp.int32, (th, width), 1)
+
+    for dy in range(window):
+        # padded-array row start of the shifted K stripe: row0 + dy
+        krows = k_ref[0, pl.ds(row0 + dy, th), :, :]  # [TH, W + 2r, D]
+        vrows = v_ref[0, pl.ds(row0 + dy, th), :, :]
+        for dx in range(window):
+            ks = jax.lax.slice_in_dim(krows, dx, dx + width, axis=1)
+            vs = jax.lax.slice_in_dim(vrows, dx, dx + width, axis=1)
+            s = jnp.sum(
+                q.astype(jnp.float32) * ks.astype(jnp.float32), axis=-1
+            )  # [TH, W]
+            ny, nx = qy + (dy - r), qx + (dx - r)
+            ok = (ny >= 0) & (ny < height) & (nx >= 0) & (nx < width)
+            s = jnp.where(ok, s, -jnp.inf)
+            m_new = jnp.maximum(m, s)
+            # guard exp(-inf - -inf): fully-masked entries keep m = -inf
+            corr = jnp.where(m == -jnp.inf, 0.0, jnp.exp(m - m_new))
+            p = jnp.where(s == -jnp.inf, 0.0, jnp.exp(s - m_new))
+            l = l * corr + p
+            acc = acc * corr[:, :, None] + p[:, :, None] * vs.astype(jnp.float32)
+            m = m_new
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, :, None]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "window", "row_tile", "interpret"),
+)
+def neighborhood_attention(
+    q: jax.Array,  # [B, N, H, D], N = height*width
+    k: jax.Array,
+    v: jax.Array,
+    height: int,
+    width: int,
+    window: int = 7,
+    row_tile: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused sliding-window attention. Returns [B, N, H, D].
+
+    Scaling by 1/sqrt(D) is applied here (callers must NOT pre-scale).
+    Requires height % row_tile == 0 (pick row_tile from the stage's token
+    grid; stages are powers of two). VMEM budget per (batch, head):
+    (height+window-1) x (width+window-1) x D x 2 bytes for K and V each —
+    <= 4.3 MB at 256^2 x D=32 bf16.
+    """
+    B, N, Hh, D = q.shape
+    assert N == height * width, (N, height, width)
+    assert height % row_tile == 0, (
+        f"height={height} must divide by row_tile={row_tile}: the pallas "
+        "grid floor-divides and would silently leave tail rows unwritten"
+    )
+    if jax.devices()[0].platform != "tpu" and not interpret:
+        # the reference applies the 1/sqrt(D) scale itself
+        return neighborhood_attention_reference(q, k, v, height, width, window)
+
+    scale = 1.0 / (D ** 0.5)
+    q = (q * scale).astype(q.dtype)
+    r = window // 2
+    qh = (
+        q.transpose(0, 2, 1, 3).reshape(B * Hh, height, width, D)
+    )
+    kh = k.transpose(0, 2, 1, 3).reshape(B * Hh, height, width, D)
+    vh = v.transpose(0, 2, 1, 3).reshape(B * Hh, height, width, D)
+    kp = jnp.pad(kh, ((0, 0), (r, r), (r, r), (0, 0)))
+    vp = jnp.pad(vh, ((0, 0), (r, r), (r, r), (0, 0)))
+
+    grid = (B * Hh, height // row_tile)
+    out = pl.pallas_call(
+        functools.partial(
+            _nat_kernel, height=height, width=width, window=window,
+            th=row_tile,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_tile, width, D), lambda bh, i: (bh, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, height + 2 * r, width + 2 * r, D),
+                         lambda bh, i: (bh, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, height + 2 * r, width + 2 * r, D),
+                         lambda bh, i: (bh, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, row_tile, width, D), lambda bh, i: (bh, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * Hh, height, width, D), q.dtype),
+        interpret=interpret,
+    )(qh, kp, vp)
+    return out.reshape(B, Hh, height * width, D).transpose(0, 2, 1, 3)

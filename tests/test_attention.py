@@ -53,3 +53,82 @@ class TestSRAttention:
         model, params = create_model(cfg, 0, (64, 64))
         out = model.apply({"params": params}, jnp.zeros((1, 64, 64, 3)))
         assert out.shape == (1, 64, 64, 134)
+
+
+class TestNeighborhoodAttention:
+    def _brute(self, q, k, v, H, W, K):
+        B, N, Hh, D = q.shape
+        r = K // 2
+        out = np.zeros(q.shape, np.float32)
+        qn, kn, vn = map(np.asarray, (q, k, v))
+        for b in range(B):
+            for h in range(Hh):
+                for y in range(H):
+                    for x in range(W):
+                        n = y * W + x
+                        idx = [
+                            yy * W + xx
+                            for yy in range(max(0, y - r), min(H, y + r + 1))
+                            for xx in range(max(0, x - r), min(W, x + r + 1))
+                        ]
+                        s = kn[b, idx, h] @ qn[b, n, h] / np.sqrt(D)
+                        p = np.exp(s - s.max())
+                        p /= p.sum()
+                        out[b, n, h] = p @ vn[b, idx, h]
+        return out
+
+    def test_reference_matches_brute_force(self, rng):
+        B, Hh, D, H, W, K = 1, 2, 8, 9, 11, 5
+        q = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.float32)
+        ref = attention.neighborhood_attention_reference(q, k, v, H, W, K)
+        np.testing.assert_allclose(
+            np.asarray(ref), self._brute(q, k, v, H, W, K), atol=2e-5
+        )
+
+    def test_kernel_interpret_matches_reference(self, rng):
+        B, Hh, D, H, W, K = 2, 2, 16, 16, 24, 5
+        q = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.float32)
+        ref = attention.neighborhood_attention_reference(q, k, v, H, W, K)
+        out = attention.neighborhood_attention(
+            q, k, v, H, W, window=K, row_tile=8, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_nat_segformer_forward_and_grad(self, rng):
+        from fusion3dseg_tpu.models.segformer import SegFormer, SegFormerConfig
+
+        cfg = SegFormerConfig(
+            num_classes=7, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+            nat_windows=(5, 0, 0, 0),
+        )
+        m = SegFormer(cfg)
+        x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(p, x)
+        assert y.shape == (1, 32, 32, 7)
+        assert np.isfinite(np.asarray(y)).all()
+        g = jax.grad(lambda pr: jnp.mean(m.apply(pr, x) ** 2))(p)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    @pytest.mark.skipif(
+        jax.devices()[0].platform != "tpu", reason="pallas kernel needs TPU"
+    )
+    def test_kernel_matches_reference_on_tpu(self, rng):
+        B, Hh, D, H, W, K = 2, 1, 32, 64, 64, 7
+        q = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.bfloat16)
+        ref = attention.neighborhood_attention_reference(q, k, v, H, W, K)
+        out = attention.neighborhood_attention(q, k, v, H, W, window=K)
+        err = np.abs(
+            np.asarray(out, np.float32) - np.asarray(ref, np.float32)
+        ).max()
+        assert err < 0.06, err
