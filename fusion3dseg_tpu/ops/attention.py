@@ -145,27 +145,29 @@ def _nat_kernel(q_ref, k_ref, v_ref, o_ref, *, height, width, window, th):
     r = window // 2
     row0 = pl.program_id(1) * th
 
-    q = q_ref[0]  # [TH, W, D] (pre-scaled)
-    m = jnp.full((th, width), -jnp.inf, jnp.float32)
-    l = jnp.zeros((th, width), jnp.float32)
-    acc = jnp.zeros((th, width, q.shape[-1]), jnp.float32)
+    q = q_ref[0].astype(jnp.float32)  # [TH, W, D] (pre-scaled)
+    D = q.shape[-1]
 
     # global coordinates of this stripe's queries
     qy = row0 + jax.lax.broadcasted_iota(jnp.int32, (th, width), 0)
     qx = jax.lax.broadcasted_iota(jnp.int32, (th, width), 1)
 
-    for dy in range(window):
+    def dy_step(dy, carry):
+        m, l, acc = carry
         # padded-array row start of the shifted K stripe: row0 + dy
         krows = k_ref[0, pl.ds(row0 + dy, th), :, :]  # [TH, W + 2r, D]
         vrows = v_ref[0, pl.ds(row0 + dy, th), :, :]
+        ny = qy + (dy - r)
+        yok = (ny >= 0) & (ny < height)
+        # dx unrolled (window items live at once — bounded); dy rolled via
+        # fori_loop so Mosaic reuses the stripe buffers instead of keeping
+        # all window^2 intermediates on the VMEM stack
         for dx in range(window):
             ks = jax.lax.slice_in_dim(krows, dx, dx + width, axis=1)
             vs = jax.lax.slice_in_dim(vrows, dx, dx + width, axis=1)
-            s = jnp.sum(
-                q.astype(jnp.float32) * ks.astype(jnp.float32), axis=-1
-            )  # [TH, W]
-            ny, nx = qy + (dy - r), qx + (dx - r)
-            ok = (ny >= 0) & (ny < height) & (nx >= 0) & (nx < width)
+            s = jnp.sum(q * ks.astype(jnp.float32), axis=-1)  # [TH, W]
+            nx = qx + (dx - r)
+            ok = yok & (nx >= 0) & (nx < width)
             s = jnp.where(ok, s, -jnp.inf)
             m_new = jnp.maximum(m, s)
             # guard exp(-inf - -inf): fully-masked entries keep m = -inf
@@ -174,13 +176,16 @@ def _nat_kernel(q_ref, k_ref, v_ref, o_ref, *, height, width, window, th):
             l = l * corr + p
             acc = acc * corr[:, :, None] + p[:, :, None] * vs.astype(jnp.float32)
             m = m_new
+        return m, l, acc
+
+    m0 = jnp.full((th, width), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((th, width), jnp.float32)
+    acc0 = jnp.zeros((th, width, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, window, dy_step, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, :, None]).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("height", "width", "window", "row_tile", "interpret"),
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def neighborhood_attention(
     q: jax.Array,  # [B, N, H, D], N = height*width
     k: jax.Array,
@@ -242,6 +247,37 @@ def neighborhood_attention(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B * Hh, height, width, D), q.dtype),
+        # the whole padded K/V lives in VMEM plus the stripe pipeline;
+        # Mosaic's default 16 MB scoped budget is too tight at 256^2 tokens
+        # (v5e VMEM is 128 MB) — raise the limit rather than shrink the
+        # resident K/V, which is the whole point of the kernel
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qh, kp, vp)
     return out.reshape(B, Hh, height * width, D).transpose(0, 2, 1, 3)
+
+
+def _nat_fwd(q, k, v, height, width, window, row_tile, interpret):
+    return (
+        neighborhood_attention(q, k, v, height, width, window, row_tile,
+                               interpret),
+        (q, k, v),
+    )
+
+
+def _nat_bwd(height, width, window, row_tile, interpret, res, g):
+    # backward through the gather-based XLA reference: same math, and the
+    # window^2-gather HBM cost is acceptable on the (training-only) backward
+    # while the forward keeps the fused kernel
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: neighborhood_attention_reference(
+            q_, k_, v_, height, width, window
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+neighborhood_attention.defvjp(_nat_fwd, _nat_bwd)
