@@ -59,12 +59,15 @@ def synthetic_dataset(
             room=synthetic.RoomSpec(seed=int(rng.integers(1 << 30))),
             appearance=appearance,
         )
+        # uint8 over the wire (images normalized on-device by the train
+        # step; class ids < 255 fit u8): host->device transfer is the train
+        # loop's bandwidth bottleneck under the tunnel
         imgs = np.stack(
             [cv2.resize(c, (w, h), interpolation=cv2.INTER_LINEAR) for c in sess.colors]
-        ).astype(np.float32) / 255.0
+        ).astype(np.uint8)
         masks = np.stack(
             [cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST) for m in sess.gt_mask]
-        ).astype(np.int32)
+        ).astype(np.uint8)
         order = rng.permutation(len(imgs))
         for i in range(0, len(order) - batch_size + 1, batch_size):
             sel = order[i : i + batch_size]
@@ -90,7 +93,7 @@ def directory_dataset(rgb_dir, mask_dir, hw, batch_size, seed=0):
                     cv2.resize(cv2.imread(str(rgb_files[j]))[:, :, ::-1], (w, h))
                     for j in sel
                 ]
-            ).astype(np.float32) / 255.0
+            )  # uint8; normalized on-device by the train step
             masks = np.stack(
                 [
                     cv2.resize(
@@ -99,7 +102,7 @@ def directory_dataset(rgb_dir, mask_dir, hw, batch_size, seed=0):
                     )
                     for j in sel
                 ]
-            ).astype(np.int32)
+            )  # uint8 class-id pngs
             yield imgs, masks
 
 

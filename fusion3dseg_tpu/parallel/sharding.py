@@ -68,8 +68,13 @@ def make_train_step(model: nn.Module, optimizer: optax.GradientTransformation):
     metadata flows through jit."""
 
     def loss_fn(params, images, labels):
+        # integer images are normalized on-device: the host->device hop is
+        # tunnel/PCIe-bandwidth-bound, so datasets ship uint8 (4x smaller)
+        # and the cast fuses into the first conv's input read
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            images = images.astype(jnp.float32) / 255.0
         logits = model.apply({"params": params}, images)
-        return cross_entropy_loss(logits, labels)
+        return cross_entropy_loss(logits, labels.astype(jnp.int32))
 
     def train_step(params, opt_state, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
