@@ -1,20 +1,30 @@
 """BASELINE config 4 end-to-end: trained 2D model -> masks -> fusion -> 3D.
 
-Train first (writes /tmp/seg2d_ckpt):
+Train first (writes the checkpoint dir):
 
-    python -m fusion3dseg_tpu train --steps 400 --batch-size 8 --lr 3e-4 \
-        --checkpoint-dir /tmp/seg2d_ckpt
+    python -m fusion3dseg_tpu train --steps 8000 --model b1 \
+        --appearance textured --augment --checkpoint-dir /tmp/seg2d_ckpt
 
-then run this script. Measured on one TPU v5e:
+then:
 
-    steps   final loss   2D pixel acc (unseen room)   3D agreement vs GT-mask pipeline   unclassified
-     400      0.126            0.9651                        0.8806                         0.0092
-    1500      0.014            0.9950                        0.9554                         0.0055
+    python examples/model_in_the_loop.py /tmp/seg2d_ckpt b1 textured
 
-i.e. multi-view voting turns a 99.5%-accurate 2D segmenter into a 3D
-labeling that matches the ground-truth-mask pipeline on 95.5% of points
-with almost nothing left unclassified — and 3D quality tracks 2D quality,
-so further training keeps paying through the whole pipeline.
+Measured on one TPU v5e.
+
+Flat appearance (fixed per-class colors — the 2D task partly reduces to a
+color lookup; kept for pipeline-mechanics comparison):
+
+    steps  model  final loss  2D pixel acc (unseen)  3D agreement  unclassified
+     400    b0      0.126           0.9651               0.8806       0.0092
+    1500    b0      0.014           0.9950               0.9554       0.0055
+
+Textured appearance (per-session random palettes + procedural textures +
+lighting + vignetting: color is uninformative across sessions, so the model
+must use spatial context — the honest perception regime; "3D agreement" is
+vs the ground-truth-mask pipeline on the same fused cloud):
+
+    steps  model  held-out mIoU  2D pixel acc (unseen)  3D agreement  unclassified
+    8000    b1       (see docs/ROADMAP.md #7 entry for the measured run)
 """
 
 import sys
@@ -34,18 +44,21 @@ from fusion3dseg_tpu.pipeline import get3dseg, process3d
 from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D
 
 
-def main(checkpoint_dir="/tmp/seg2d_ckpt"):
+def main(checkpoint_dir="/tmp/seg2d_ckpt", model="b0", appearance="flat"):
     out = Path(tempfile.mkdtemp())
     work_m = Path(tempfile.mkdtemp())
     work_g = Path(tempfile.mkdtemp())
-    # a room seed never seen in training
+    # a room seed never seen in training (training draws seeds < 2^30 from
+    # its own stream; this fixed seed is held out by convention, and the
+    # eval harness proper uses seeds >= 990_000_000 — train.py)
     sess = synthetic.make_session(
-        nframes=32, depth_hw=(128, 96), room=synthetic.RoomSpec(seed=777)
+        nframes=32, depth_hw=(128, 96), room=synthetic.RoomSpec(seed=777),
+        appearance=appearance,
     )
     synthetic.write_session_dir(sess, out)
 
     seg = Segmenter2D(
-        config=SegFormerConfig(), checkpoint_dir=checkpoint_dir,
+        config=SegFormerConfig.named(model), checkpoint_dir=checkpoint_dir,
         input_hw=(256, 256), batch_size=8,
     )
     SegmentImage(str(out / "rgb"), str(out / "model_masks"), segmenter=seg, batch_size=8)
@@ -56,7 +69,7 @@ def main(checkpoint_dir="/tmp/seg2d_ckpt"):
         (cv2.imread(str(out / "model_masks" / f"{i}.png"), 0) == sess.gt_mask[i]).mean()
         for i in range(sess.nframes)
     ]
-    log(f"2D pixel accuracy on unseen room: {np.mean(accs):.4f}")
+    log(f"2D pixel accuracy on unseen room ({appearance}): {np.mean(accs):.4f}")
 
     kw = dict(radius=0.08, angle=20, stride=8, point_range=(0.1, 8.0), capacity=1 << 17)
     process3d.process3DSeg(out, work_m, **kw)

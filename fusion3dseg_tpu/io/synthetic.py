@@ -188,22 +188,72 @@ def make_session(
     sx, sy, sz = room.size
     room_box = np.array([0.0, 0.0, 0.0, sx, sy, sz])
 
-    # objects: boxes on the floor along the walls (never blocking the center)
+    # objects: class-conditional shape priors along the walls (never blocking
+    # the center). With textured appearance the palette is random per
+    # session, so GEOMETRY is the only session-stable class cue — each class
+    # gets a characteristic placement/size so a 2D model can identify it
+    # from spatial context (doors reach the floor, windows sit at sill
+    # height, TVs hang high and thin, couches are long and low, keyboards
+    # are tiny floor slabs):
+    #   86 door-stuff     flush wall panel, floor..~2.0 m
+    #   114 window-blind  flush wall panel, wide+short, sill ~1 m
+    #   115 window-other  flush wall panel, square-ish, sill ~1 m
+    #   62 tv             thin wall panel, mounted 1.4-1.7 m
+    #   57 couch          floor box against the wall, long x low
+    #   66 keyboard       small flat slab on the floor
+    # Other class ids fall back to the generic floor box.
     boxes, bclasses = [], []
+    th = 0.06  # wall-panel protrusion into the room
     for i in range(room.num_objects):
         cls = room.object_classes[i % len(room.object_classes)]
-        w, h, d = rng.uniform(0.3, 1.2, 3) * np.array([1.0, 1.5, 1.0])
-        # place near a wall
         side = i % 4
+        # wall `side` runs along L = sx (sides 0/1, the z walls) or sz;
+        # objects on the same wall take disjoint halves to limit overlap
+        L = sx if side < 2 else sz
+        j = (i // 4) % 2
+        lo, hi = j * L / 2 + 0.2, (j + 1) * L / 2 - 0.2
+        if cls == 86:  # door
+            w = rng.uniform(0.85, 1.05)
+            y0, y1 = 0.0, min(rng.uniform(1.9, 2.1), sy - 0.1)
+            d = th
+        elif cls == 114:  # window-blind: wide + short
+            w = rng.uniform(1.4, 1.8)
+            y0 = rng.uniform(0.9, 1.2)
+            y1 = y0 + rng.uniform(0.55, 0.8)
+            d = th
+        elif cls == 115:  # window-other: square-ish
+            w = rng.uniform(0.9, 1.25)
+            y0 = rng.uniform(0.9, 1.3)
+            y1 = y0 + w * rng.uniform(0.9, 1.1)
+            d = th
+        elif cls == 62:  # tv: thin, mounted high
+            w = rng.uniform(0.9, 1.25)
+            y0 = rng.uniform(1.4, 1.7)
+            y1 = y0 + rng.uniform(0.5, 0.7)
+            d = th
+        elif cls == 57:  # couch: long x low, on the floor
+            w = rng.uniform(1.6, 2.2)
+            y0, y1 = 0.0, rng.uniform(0.7, 0.85)
+            d = rng.uniform(0.8, 0.95)
+        elif cls == 66:  # keyboard: tiny flat slab
+            w = rng.uniform(0.35, 0.5)
+            y0, y1 = 0.0, rng.uniform(0.035, 0.05)
+            d = rng.uniform(0.12, 0.18)
+        else:  # generic object (legacy behavior)
+            w, h, d = rng.uniform(0.3, 1.2, 3) * np.array([1.0, 1.5, 1.0])
+            y0, y1 = 0.0, min(h, sy)
+        w = min(w, hi - lo - 0.01)
+        a0 = rng.uniform(lo, hi - w)  # position along the wall
+        gap = 0.0 if d == th else rng.uniform(0, 0.25)  # floor boxes drift
         if side == 0:
-            x0, z0 = rng.uniform(0, sx - w), rng.uniform(0, 0.3)
+            x0, x1, z0, z1 = a0, a0 + w, gap, gap + d
         elif side == 1:
-            x0, z0 = rng.uniform(0, sx - w), sz - d - rng.uniform(0, 0.3)
+            x0, x1, z0, z1 = a0, a0 + w, sz - d - gap, sz - gap
         elif side == 2:
-            x0, z0 = rng.uniform(0, 0.3), rng.uniform(0, sz - d)
+            x0, x1, z0, z1 = gap, gap + d, a0, a0 + w
         else:
-            x0, z0 = sx - w - rng.uniform(0, 0.3), rng.uniform(0, sz - d)
-        boxes.append([x0, 0.0, z0, x0 + w, min(h, sy), z0 + d])
+            x0, x1, z0, z1 = sx - d - gap, sx - gap, a0, a0 + w
+        boxes.append([x0, y0, z0, x1, min(y1, sy), z1])
         bclasses.append(cls)
     boxes = np.asarray(boxes) if boxes else np.zeros((0, 6))
     bclasses = np.asarray(bclasses, np.uint8)
