@@ -32,6 +32,43 @@ class TestSyntheticSession:
         if floor.any():
             assert np.abs(sd.points[0][floor][:, 1]).max() < 0.1
 
+    def test_shape_priors(self):
+        """Object classes carry characteristic geometry (the only
+        session-stable class cue under textured appearance): doors reach
+        the floor in a wall plane, windows sit at sill height, TVs hang
+        high, couches are long and low."""
+        for seed in (3, 41):
+            sess = synthetic.make_session(
+                nframes=2, depth_hw=(32, 24),
+                room=synthetic.RoomSpec(seed=seed, num_objects=12),
+            )
+            sx, sy, sz = sess.room.size
+            for box, cls_ in zip(sess.boxes, sess.box_classes):
+                x0, y0, z0, x1, y1, z1 = box
+                dims = np.array([x1 - x0, y1 - y0, z1 - z0])
+                if cls_ in (86, 114, 115, 62):  # flush wall panels
+                    thin = min(dims[0], dims[2])
+                    assert thin < 0.1, (cls_, box)
+                    at_wall = (
+                        x0 < 1e-6 or z0 < 1e-6
+                        or abs(x1 - sx) < 1e-6 or abs(z1 - sz) < 1e-6
+                    )
+                    assert at_wall, (cls_, box)
+                if cls_ == 86:  # door: floor to ~2m
+                    assert y0 == 0.0 and 1.8 <= y1 <= 2.2
+                if cls_ in (114, 115):  # window: off the floor
+                    assert y0 >= 0.85
+                if cls_ == 114:  # blind: wide + short
+                    w = max(dims[0], dims[2])
+                    assert w / dims[1] > 1.6
+                if cls_ == 62:  # tv mounted high
+                    assert y0 >= 1.35
+                if cls_ == 57:  # couch: long x low on the floor
+                    assert y0 == 0.0 and dims[1] <= 0.9
+                    assert max(dims[0], dims[2]) >= 1.5
+                if cls_ == 66:  # keyboard: tiny flat slab
+                    assert y0 == 0.0 and dims[1] < 0.06
+
     def test_cache_roundtrip(self, session_dir, tmp_path):
         out, sess = session_dir
         sd = rtab.SessionData.from_export_dir(out)
