@@ -245,8 +245,10 @@ def _fuse_frame(
         occ_w = jax.lax.dynamic_slice(state.occurences, (w0,), (W,))
     else:
         clr_w, nm_w, occ_w = state.colors, state.nmerges, state.occurences
-    cpts = pts_w[cand_safe]  # [P, 18, 3]: 3x3 cells x 2 candidates
-    cnrm = nrm_w[cand_safe]
+    # one fused [W,6] gather for position+normal (gathers serialize per
+    # element like scatters — docs/DESIGN.md — but one pass beats two)
+    cpn = jnp.concatenate([pts_w, nrm_w], axis=1)[cand_safe]  # [P, 18, 6]
+    cpts, cnrm = cpn[..., :3], cpn[..., 3:]
     dist = jnp.linalg.norm(fpts[:, None, :] - cpts, axis=-1)
     cosn = jnp.sum(fnrm[:, None, :] * cnrm, axis=-1)
     passes = cmask & (dist < radius) & (cosn > min_cosine) & fvalid[:, None]
@@ -260,10 +262,18 @@ def _fuse_frame(
     #    this frame's matches + the current sparse value, fusion.py:288-295)
     mseg = jnp.where(matched, match, W)
     mw = matched.astype(jnp.float32)
-    cnt = jax.ops.segment_sum(mw, mseg, num_segments=W + 1)[:W]
-    spt = jax.ops.segment_sum(fpts * mw[:, None], mseg, num_segments=W + 1)[:W]
-    scl = jax.ops.segment_sum(fclr * mw[:, None], mseg, num_segments=W + 1)[:W]
-    snr = jax.ops.segment_sum(fnrm * mw[:, None], mseg, num_segments=W + 1)[:W]
+    # one fused [P,10] row-scatter instead of four separate segment_sums:
+    # scatter passes serialize per update (docs/DESIGN.md), so batching the
+    # count + position + color + normal accumulations into one pass cuts
+    # the merge's scatter count 4x
+    acc = jax.ops.segment_sum(
+        jnp.concatenate(
+            [mw[:, None], fpts * mw[:, None], fclr * mw[:, None],
+             fnrm * mw[:, None]], axis=1,
+        ),
+        mseg, num_segments=W + 1,
+    )[:W]
+    cnt, spt, scl, snr = acc[:, 0], acc[:, 1:4], acc[:, 4:7], acc[:, 7:10]
 
     touched = cnt > 0
     denom = (cnt + 1.0)[:, None]
