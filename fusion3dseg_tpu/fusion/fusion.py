@@ -218,36 +218,47 @@ def _fuse_frame(
         )[:ncells]
         cand2_of_cell = jnp.where(winner2 == INT32_MAX, -1, winner2)
 
-    # 3b. every dense pixel gathers candidates from its 3x3 cell neighborhood
-    pu = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).reshape(-1)
-    pv = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).reshape(-1)
-    cu, cv = pu // half, pv // half
-    offs = jnp.asarray(
-        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], jnp.int32
-    )  # [9, 2]
-    ncv = cv[:, None] + offs[None, :, 0]
-    ncu = cu[:, None] + offs[None, :, 1]
-    nok = (ncv >= 0) & (ncv < gh) & (ncu >= 0) & (ncu < gw)
-    ncell = jnp.where(nok, ncv * gw + ncu, 0)
-    cand = jnp.concatenate(
-        [
-            jnp.where(nok, cand_of_cell[ncell], -1),
-            jnp.where(nok, cand2_of_cell[ncell], -1),
-        ],
-        axis=1,
-    )  # [P, 18] sparse slots
+    # 3b. every dense pixel reads candidates from its 3x3 cell neighborhood.
+    # Candidates live on the regular cell GRID, so the per-pixel view is
+    # built with zero gathers at pixel rank: gather candidate data once per
+    # CELL (2*ncells rows — ~20x fewer than the [P,18] row gather this
+    # replaces; gathers serialize per row, docs/DESIGN.md), lay it out as a
+    # [gh, gw] image, take the 9 padded shifts, and broadcast-upsample
+    # cells to pixels (vectorized copies). Candidate-axis order (candidate
+    # major, then the 3x3 offsets row-major) matches the old concat
+    # ordering so argmin tie-breaks are bit-identical.
+    cands2 = jnp.stack([cand_of_cell, cand2_of_cell], axis=1)  # [ncells, 2]
+    cmask_cell = cands2 >= 0
+    csafe_cell = jnp.where(cmask_cell, cands2, 0)
+    cdata = jnp.concatenate([pts_w, nrm_w], axis=1)[csafe_cell]  # [ncells, 2, 6]
+    grid = jnp.where(cmask_cell[..., None], cdata, 0.0).reshape(gh, gw, 12)
+    slotg = jnp.where(cmask_cell, cands2, -1).reshape(gh, gw, 2)
+    padg = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)))
+    pads = jnp.pad(slotg, ((1, 1), (1, 1), (0, 0)), constant_values=-1)
+    neigh = jnp.stack(
+        [padg[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
+        axis=2,
+    )  # [gh, gw, 9, 12]
+    nslot = jnp.stack(
+        [pads[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
+        axis=2,
+    )  # [gh, gw, 9, 2]
+    # cell -> pixel upsample (pixel (v,u) reads cell (v//half, u//half))
+    pixd = jnp.repeat(jnp.repeat(neigh, half, axis=0), half, axis=1)[:height, :width]
+    pixs = jnp.repeat(jnp.repeat(nslot, half, axis=0), half, axis=1)[:height, :width]
+    # [P, 2, 9, 6] -> [P, 18, 6]: candidate-major like the old concat
+    cpn = (
+        pixd.reshape(P, 9, 2, 6).transpose(0, 2, 1, 3).reshape(P, 18, 6)
+    )
+    cand = pixs.reshape(P, 9, 2).transpose(0, 2, 1).reshape(P, 18)
 
     cmask = cand >= 0
-    cand_safe = jnp.where(cmask, cand, 0)
     if W < capacity:
         clr_w = jax.lax.dynamic_slice(state.colors, (w0, 0), (W, 3))
         nm_w = jax.lax.dynamic_slice(state.nmerges, (w0,), (W,))
         occ_w = jax.lax.dynamic_slice(state.occurences, (w0,), (W,))
     else:
         clr_w, nm_w, occ_w = state.colors, state.nmerges, state.occurences
-    # one fused [W,6] gather for position+normal (gathers serialize per
-    # element like scatters — docs/DESIGN.md — but one pass beats two)
-    cpn = jnp.concatenate([pts_w, nrm_w], axis=1)[cand_safe]  # [P, 18, 6]
     cpts, cnrm = cpn[..., :3], cpn[..., 3:]
     dist = jnp.linalg.norm(fpts[:, None, :] - cpts, axis=-1)
     cosn = jnp.sum(fnrm[:, None, :] * cnrm, axis=-1)
