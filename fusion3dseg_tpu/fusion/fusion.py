@@ -74,11 +74,29 @@ def _append_sparsified(
     write = occupied & fits
     dest = jnp.where(write, dest, capacity)
 
-    points = state.points.at[dest].set(sp.points, mode="drop")
-    normals = state.normals.at[dest].set(sp.normals, mode="drop")
-    colors = state.colors.at[dest].set(sp.colors, mode="drop")
-    nmerges = state.nmerges.at[dest].set(sp.counts, mode="drop")
-    occ = state.occurences.at[dest].set(jnp.ones_like(sp.counts), mode="drop")
+    # one fused [C,11] row scatter instead of five (scatters serialize per
+    # update — docs/DESIGN.md). nmerges ride as f32: a fresh cell's count is
+    # bounded by the frame pixel count << 2^24, so the round-trip is exact.
+    combined = jnp.concatenate(
+        [
+            state.points, state.normals, state.colors,
+            state.nmerges.astype(jnp.float32)[:, None],
+            state.occurences.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    upd = jnp.concatenate(
+        [
+            sp.points, sp.normals, sp.colors,
+            sp.counts.astype(jnp.float32)[:, None],
+            jnp.ones((len(sp.counts), 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    combined = combined.at[dest].set(upd, mode="drop")
+    points, normals, colors = combined[:, 0:3], combined[:, 3:6], combined[:, 6:9]
+    nmerges = combined[:, 9].astype(jnp.int32)
+    occ = combined[:, 10].astype(jnp.int32)
     n = jnp.minimum(state.n + total_new, capacity)
 
     cell2slot = jnp.where(write, dest, -1).astype(jnp.int32)

@@ -117,13 +117,20 @@ def voxel_merge(
     seg = jnp.where(seg0 < N, seg0 * 2 + secondary.astype(jnp.int32), C)
     w = jnp.where(seg < C, weights.astype(jnp.float32), 0.0)
 
-    cnt = jax.ops.segment_sum(w, seg, num_segments=C + 1)
-    occ = jax.ops.segment_sum(
-        jnp.where(seg < C, occurences, 0), seg, num_segments=C + 1
+    # one fused [N,11] row scatter instead of five separate segment_sums
+    # (scatter passes serialize per update — docs/DESIGN.md). The occurrence
+    # counters ride as f32: their per-cell sums are bounded by the session
+    # frame count << 2^24, so the round-trip is exact.
+    occ_f = jnp.where(seg < C, occurences, 0).astype(jnp.float32)
+    acc = jax.ops.segment_sum(
+        jnp.concatenate(
+            [w[:, None], occ_f[:, None], points * w[:, None],
+             colors * w[:, None], normals * w[:, None]], axis=1,
+        ),
+        seg, num_segments=C + 1,
     )
-    psum = jax.ops.segment_sum(points * w[:, None], seg, num_segments=C + 1)
-    csum = jax.ops.segment_sum(colors * w[:, None], seg, num_segments=C + 1)
-    n2sum = jax.ops.segment_sum(normals * w[:, None], seg, num_segments=C + 1)
+    cnt, occ = acc[:, 0], acc[:, 1]
+    psum, csum, n2sum = acc[:, 2:5], acc[:, 5:8], acc[:, 8:11]
 
     denom = jnp.maximum(cnt[:, None], 1e-12)
     mean_pts = (psum / denom)[:C]
