@@ -24,7 +24,12 @@ must use spatial context — the honest perception regime; "3D agreement" is
 vs the ground-truth-mask pipeline on the same fused cloud):
 
     steps  model  held-out mIoU  2D pixel acc (unseen)  3D agreement  unclassified
-    8000    b1       (see docs/ROADMAP.md #7 entry for the measured run)
+    8000    b1       0.8165            0.9884              0.9719        0.0002
+
+(B1 @ 256^2, batch 8, warmup-cosine 6e-5, flip+photometric augmentation,
+class-conditional shape-prior rooms. Held-out mIoU over 8 fresh sessions:
+surfaces 0.98, couch 0.92, tv 0.90, door 0.89, windows 0.83-0.86; the
+keyboard class is subpixel at the 96x72 render resolution and scores 0.)
 """
 
 import sys
