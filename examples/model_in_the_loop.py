@@ -25,11 +25,14 @@ vs the ground-truth-mask pipeline on the same fused cloud):
 
     steps  model  held-out mIoU  2D pixel acc (unseen)  3D agreement  unclassified
     8000    b1       0.8165            0.9884              0.9719        0.0002
+   14000    b2       0.8492            0.9903              0.9752        0.0002
 
-(B1 @ 256^2, batch 8, warmup-cosine 6e-5, flip+photometric augmentation,
-class-conditional shape-prior rooms. Held-out mIoU over 8 fresh sessions:
-surfaces 0.98, couch 0.92, tv 0.90, door 0.89, windows 0.83-0.86; the
-keyboard class is subpixel at the 96x72 render resolution and scores 0.)
+(256^2 input, batch 8, warmup-cosine 6e-5, flip+photometric augmentation,
+class-conditional shape-prior rooms; the b2 run resumed from its 8000-step
+checkpoint — full train-state resume — for the last 6000 steps. B2
+held-out per-class IoU over 8 fresh sessions: surfaces 0.99, couch 0.97,
+tv 0.95, door 0.94, windows 0.88-0.90; the keyboard class is subpixel at
+the 96x72 render resolution and scores 0.04.)
 """
 
 import sys
