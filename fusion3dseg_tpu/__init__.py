@@ -21,7 +21,38 @@ de-facto public API documented in SURVEY.md §1.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 from fusion3dseg_tpu import config  # noqa: F401
+
+
+def _enable_compile_cache():
+    """Point JAX's persistent compilation cache at a user-cache dir.
+
+    Compiles of the big session programs (fuse_session, the label-fuse
+    scans, model train steps) take minutes through a remote-compile
+    tunnel; the persistent cache makes every process after the first
+    start warm. Opt out with FUSION3DSEG_NO_COMPILE_CACHE=1. Harmless
+    where the backend doesn't support executable serialization — JAX
+    skips caching silently.
+    """
+    if _os.environ.get("FUSION3DSEG_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "fusion3dseg_tpu", "xla"
+            )
+            _os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # never let cache plumbing break imports
+        pass
+
+
+_enable_compile_cache()
 
 
 def __getattr__(name):

@@ -53,15 +53,28 @@ def radius_graph(
     fin = np.isfinite(pts_host).all(axis=-1)
     if valid is not None:
         fin &= np.asarray(valid)
+    ncells = 1.0
     if fin.any():
         ext = pts_host[fin].max(0) - pts_host[fin].min(0)
         cells = np.maximum(ext / float(radius) + 2, 1.0)
-        if float(np.prod(cells)) >= 2**31:
+        ncells = float(np.prod(np.ceil(cells)))
+        if ncells >= 2**31:
             raise ValueError(
                 f"scene extent {ext} at radius {radius} needs {cells} grid "
                 "cells — linear int32 keys would overflow; use "
                 "fusion3dseg_tpu.io.native.radius_graph instead"
             )
+    if ncells < 2**24:
+        # bounded scene: dense CSR start/count tables, direct cell
+        # addressing (no binary search — searchsorted's log-N scan of
+        # single-int gathers dominates the sparse path, measured
+        # docs/DESIGN.md). Table capacity rounds up to a power of two so
+        # scenes of similar size share one compilation.
+        ncap = 1 << max(int(np.ceil(np.log2(max(ncells, 2.0)))), 10)
+        return _radius_graph_dense(
+            points, radius, valid, k=k, cap_per_cell=cap_per_cell,
+            chunk=chunk, ncap=ncap,
+        )
     return _radius_graph_jit(points, radius, valid, k=k, cap_per_cell=cap_per_cell, chunk=chunk)
 
 
@@ -110,6 +123,14 @@ def _radius_graph_jit(
     skeys, sidx = jax.lax.sort((keys, ids), num_keys=1)
     spts = points[sidx]
     svalid = valid[sidx]
+    # fused candidate table: [id-or--1, x, y, z] so the per-candidate read
+    # is ONE row gather instead of three (sidx/spts/svalid) — gathers
+    # serialize per row (docs/DESIGN.md). ids ride as f32: exact < 2^24,
+    # far above the 2^20 packed-id shard bound that caps n anyway.
+    stab = jnp.concatenate(
+        [jnp.where(svalid, sidx, -1).astype(jnp.float32)[:, None], spts],
+        axis=1,
+    )
 
     cap = cap_per_cell
     r2 = jnp.float32(radius) * jnp.float32(radius)
@@ -130,10 +151,108 @@ def _radius_graph_jit(
         pos = starts[..., None] + jnp.arange(cap, dtype=jnp.int32)  # [B,27,cap]
         in_range = (pos < ends[..., None]) & ncell_ok[..., None]
         pos = jnp.clip(pos, 0, n - 1)
-        cand_idx = sidx[pos]  # [B,27,cap]
-        cand_pts = spts[pos]
+        crow = stab[pos]  # [B,27,cap,4] — one fused row gather
+        cand_idx = crow[..., 0].astype(jnp.int32)
+        cand_pts = crow[..., 1:]
         d2 = jnp.sum((cand_pts - qp[:, None, None, :]) ** 2, axis=-1)
-        ok = in_range & svalid[pos] & (d2 <= r2) & qv[:, None, None]
+        ok = in_range & (cand_idx >= 0) & (d2 <= r2) & qv[:, None, None]
+        d2 = jnp.where(ok, d2, big).reshape(qp.shape[0], 27 * cap)
+        flat_idx = cand_idx.reshape(qp.shape[0], 27 * cap)
+        neg, top = jax.lax.top_k(-d2, k)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (qp.shape[0], k), 0)
+        out = jnp.where(neg > -big, flat_idx[rows, top], -1)
+        return out.astype(jnp.int32)
+
+    adj = jax.lax.map(
+        one_chunk,
+        (
+            q_pts.reshape(nchunks, chunk, 3),
+            q_cells.reshape(nchunks, chunk, 3),
+            q_valid.reshape(nchunks, chunk),
+        ),
+    ).reshape(n + pad, k)
+    return adj[:n]
+
+
+@partial(jax.jit, static_argnames=("k", "cap_per_cell", "chunk", "ncap"))
+def _radius_graph_dense(
+    points: jax.Array,
+    radius: float | jax.Array,
+    valid: Optional[jax.Array] = None,
+    k: int = 16,
+    cap_per_cell: int = 8,
+    chunk: int = 4096,
+    ncap: int = 1 << 20,
+) -> jax.Array:
+    """Dense-grid CSR variant of _radius_graph_jit for bounded scenes.
+
+    Same output contract. Instead of binary-searching the sorted keys per
+    neighbor cell (log-N scan of serialized single-int gathers — the
+    dominant cost of the sparse path), builds dense [ncap] start/count
+    tables indexed directly by the linear cell key: one scatter-add + one
+    cumsum to build, one row gather per neighbor cell to query. The host
+    wrapper guarantees every linear key < ncap.
+    """
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    points = points.astype(jnp.float32)
+
+    big = jnp.float32(3.0e38)
+    pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    cells = jnp.floor((points - pmin) / radius).astype(jnp.int32)
+    cells = jnp.maximum(cells, 0)
+    cmax = jnp.max(jnp.where(valid[:, None], cells, -1), axis=0)
+    ny, nz = cmax[1] + 2, cmax[2] + 2
+
+    def key_of(c):
+        return (c[..., 0] * ny + c[..., 1]) * nz + c[..., 2]
+
+    keys = jnp.where(valid, key_of(cells), ncap)  # invalid -> overflow row
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    skeys, sidx = jax.lax.sort((keys, ids), num_keys=1)
+    spts = points[sidx]
+    svalid = valid[sidx]
+    stab = jnp.concatenate(
+        [jnp.where(svalid, sidx, -1).astype(jnp.float32)[:, None], spts],
+        axis=1,
+    )
+    counts_tab = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), keys, num_segments=ncap + 1
+    )
+    starts_tab = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_tab[:ncap])]
+    )  # exclusive prefix: starts_tab[key] = first sorted row of that cell
+
+    cap = cap_per_cell
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+
+    pad = (-n) % chunk
+    q_pts = jnp.pad(points, ((0, pad), (0, 0)))
+    q_cells = jnp.pad(cells, ((0, pad), (0, 0)))
+    q_valid = jnp.pad(valid, (0, pad))
+    nchunks = (n + pad) // chunk
+
+    def one_chunk(args):
+        qp, qc, qv = args
+        ncell = qc[:, None, :] + _OFFSETS[None]  # [B, 27, 3]
+        ncell_ok = jnp.all(ncell >= 0, axis=-1)
+        nkey = jnp.where(ncell_ok, key_of(ncell), ncap)
+        nkey = jnp.clip(nkey, 0, ncap)
+        # fused [starts, counts] row gather per neighbor cell
+        sc = jnp.stack([starts_tab[:ncap + 1], counts_tab], axis=1)[nkey]
+        starts, cnts = sc[..., 0], sc[..., 1]
+        pos = starts[..., None] + jnp.arange(cap, dtype=jnp.int32)
+        in_range = (
+            (jnp.arange(cap, dtype=jnp.int32) < cnts[..., None])
+            & ncell_ok[..., None]
+        )
+        pos = jnp.clip(pos, 0, n - 1)
+        crow = stab[pos]  # [B,27,cap,4]
+        cand_idx = crow[..., 0].astype(jnp.int32)
+        cand_pts = crow[..., 1:]
+        d2 = jnp.sum((cand_pts - qp[:, None, None, :]) ** 2, axis=-1)
+        ok = in_range & (cand_idx >= 0) & (d2 <= r2) & qv[:, None, None]
         d2 = jnp.where(ok, d2, big).reshape(qp.shape[0], 27 * cap)
         flat_idx = cand_idx.reshape(qp.shape[0], 27 * cap)
         neg, top = jax.lax.top_k(-d2, k)
