@@ -329,8 +329,10 @@ def main():
                 st, uv2pt = fusion_engine.fuse_session(*fargs, **fkw)
                 n = int(np.asarray(st.n))
                 pts = np.asarray(st.points[:n])
-                adj = neighbors.radius_graph(
-                    jnp.asarray(pts), 2 * fkw["radius"], k=32
+                adj = np.asarray(  # host copy: split/merge/dump all live
+                    neighbors.radius_graph(  # host-side (see dump_data)
+                        jnp.asarray(pts), 2 * fkw["radius"], k=32
+                    )
                 )
                 votes_e, classes_e = voting.vote_and_classify(
                     uv2pt, fmasks, fcap, args.nclasses, threshold=0.5,

@@ -58,6 +58,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    try:
+        lib.components_from_adjacency.restype = ctypes.c_int
+        lib.components_from_adjacency.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+    except AttributeError:  # stale .so from before the symbol existed
+        pass
     _lib = lib
     return lib
 
@@ -163,4 +171,30 @@ def connected_components(points, radius: float, labels=None) -> np.ndarray:
     )
     if rc != 0:
         raise RuntimeError(f"connected_components failed rc={rc}")
+    return out
+
+
+def components_from_adjacency(adj, labels=None):
+    """[N] int32 component roots (min point index) over an existing [N, K]
+    fixed-degree adjacency (-1 padded), optionally restricted to equal
+    `labels` — union-find; the host fast path behind
+    ops/components.split_into_instances. Returns None when the native
+    library (or the symbol, for a stale build) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "components_from_adjacency"):
+        return None
+    a = np.ascontiguousarray(np.asarray(adj, np.int32))
+    assert a.ndim == 2
+    n, k = a.shape
+    out = np.empty(n, np.int32)
+    lab_ptr = None
+    if labels is not None:
+        lab = np.ascontiguousarray(np.asarray(labels, np.int32))
+        lab_ptr = lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.components_from_adjacency(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, k, lab_ptr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"components_from_adjacency failed rc={rc}")
     return out

@@ -197,6 +197,37 @@ int connected_components(const float* pts, int64_t n, float radius,
   return 0;
 }
 
+// Connected components over an EXISTING fixed-degree adjacency ([n, k]
+// int32, -1 padded), optionally restricted to equal `labels` — the host
+// fast path behind ops/components.split_into_instances (identical
+// semantics to its device min-label propagation: component id = minimum
+// member point index; union by smaller root keeps every set's root at its
+// minimum element).
+int components_from_adjacency(const int32_t* adj, int64_t n, int32_t k,
+                              const int32_t* labels, int32_t* out) {
+  if (n <= 0) return 1;
+  std::vector<int32_t> root((size_t)n);
+  for (int64_t i = 0; i < n; ++i) root[(size_t)i] = (int32_t)i;
+  std::function<int32_t(int32_t)> find = [&](int32_t a) {
+    while (root[(size_t)a] != a) {
+      root[(size_t)a] = root[(size_t)root[(size_t)a]];
+      a = root[(size_t)a];
+    }
+    return a;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t j = 0; j < k; ++j) {
+      const int32_t nb = adj[i * k + j];
+      if (nb < 0 || nb >= n) continue;
+      if (labels && labels[i] != labels[nb]) continue;
+      const int32_t ra = find((int32_t)i), rb = find(nb);
+      if (ra != rb) root[(size_t)std::max(ra, rb)] = std::min(ra, rb);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = find((int32_t)i);
+  return 0;
+}
+
 }  // extern "C"
 
 #ifdef BUILD_CLI

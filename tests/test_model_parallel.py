@@ -137,6 +137,28 @@ class TestNative:
         assert len(np.unique(comp[50:])) == 1
         assert comp[0] != comp[50]
 
+    def test_components_from_adjacency_matches_device(self, rng):
+        """The split_into_instances host fast path (C++ union-find over an
+        existing adjacency) must agree with the device min-label
+        propagation, including the class-edge restriction."""
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        import jax.numpy as jnp
+
+        from fusion3dseg_tpu.ops import components, neighbors
+
+        pts = rng.uniform(0, 2, (3000, 3)).astype(np.float32)
+        classes = rng.integers(0, 3, 3000).astype(np.int32)
+        adj = np.asarray(neighbors.radius_graph(jnp.asarray(pts), 0.12, k=32))
+        want = np.asarray(
+            components.propagate_labels(
+                jnp.asarray(adj, jnp.int32), jnp.asarray(classes)
+            )
+        )
+        got = native.components_from_adjacency(adj, classes)
+        assert got is not None
+        np.testing.assert_array_equal(got, want)
+
     def test_cli_vids_format(self, tmp_path, rng):
         import subprocess, pathlib
 
