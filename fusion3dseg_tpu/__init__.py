@@ -38,6 +38,15 @@ def _enable_compile_cache():
     """
     if _os.environ.get("FUSION3DSEG_NO_COMPILE_CACHE"):
         return
+    # CPU runs skip the cache: XLA:CPU emits AOT machine code, and under a
+    # remote-compile service the compile machine's features can differ from
+    # this host's (observed "+prefer-no-gather not supported on the host"
+    # → potential SIGILL). The cache's value is the slow tunnel-compiled
+    # TPU programs anyway.
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
+    if "host_platform_device_count" in _os.environ.get("XLA_FLAGS", ""):
+        return
     try:
         import jax
 
