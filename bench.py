@@ -157,6 +157,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import fusion3dseg_tpu
+
+    fusion3dseg_tpu.enable_compile_cache()
     platform = jax.devices()[0].platform
     log(f"platform: {jax.devices()}")
 
@@ -286,7 +289,7 @@ def main():
             jnp.asarray(sd.Ks, jnp.float32), jnp.asarray(sd.quats_wxyz),
             jnp.asarray(sd.translations), jnp.asarray(sd.points),
             jnp.asarray(sd.normals), jnp.asarray(sd.colors),
-            jnp.asarray(sd.depth), jnp.asarray(fvalid),
+            None, jnp.asarray(fvalid),  # depth unused by fuse_session
         )
         fcap = 1 << 17
         fkw = dict(height=256, width=192, stride=10, radius=0.05,

@@ -26,30 +26,28 @@ import os as _os
 from fusion3dseg_tpu import config  # noqa: F401
 
 
-def _enable_compile_cache():
+def enable_compile_cache():
     """Point JAX's persistent compilation cache at a user-cache dir.
 
     Compiles of the big session programs (fuse_session, the label-fuse
     scans, model train steps) take minutes through a remote-compile
     tunnel; the persistent cache makes every process after the first
-    start warm. Opt out with FUSION3DSEG_NO_COMPILE_CACHE=1. Harmless
-    where the backend doesn't support executable serialization — JAX
-    skips caching silently.
+    start warm (measured ~10 min -> 27 s). Called by the framework entry
+    points (cli, bench, __graft_entry__) AFTER backend selection — NOT at
+    import, because the decision needs the actual backend: XLA:CPU cache
+    entries are AOT machine code, and under a remote-compile service the
+    compile machine's CPU features can differ from this host's (observed
+    a feature-mismatch load warning about potential SIGILL), so CPU runs
+    — including config-forced CPU, which no env sniff can see — must skip
+    it. Opt out entirely with FUSION3DSEG_NO_COMPILE_CACHE=1.
     """
     if _os.environ.get("FUSION3DSEG_NO_COMPILE_CACHE"):
-        return
-    # CPU runs skip the cache: XLA:CPU emits AOT machine code, and under a
-    # remote-compile service the compile machine's features can differ from
-    # this host's (observed "+prefer-no-gather not supported on the host"
-    # → potential SIGILL). The cache's value is the slow tunnel-compiled
-    # TPU programs anyway.
-    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
-        return
-    if "host_platform_device_count" in _os.environ.get("XLA_FLAGS", ""):
         return
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            return
         if jax.config.jax_compilation_cache_dir is None:
             cache = _os.path.join(
                 _os.path.expanduser("~"), ".cache", "fusion3dseg_tpu", "xla"
@@ -57,11 +55,8 @@ def _enable_compile_cache():
             _os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:  # never let cache plumbing break imports
+    except Exception:  # never let cache plumbing break startup
         pass
-
-
-_enable_compile_cache()
 
 
 def __getattr__(name):

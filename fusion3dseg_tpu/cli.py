@@ -21,6 +21,9 @@ import argparse
 
 
 def main(argv=None):
+    import fusion3dseg_tpu
+
+    fusion3dseg_tpu.enable_compile_cache()
     p = argparse.ArgumentParser(prog="fusion3dseg_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

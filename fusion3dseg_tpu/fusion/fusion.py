@@ -74,29 +74,21 @@ def _append_sparsified(
     write = occupied & fits
     dest = jnp.where(write, dest, capacity)
 
-    # one fused [C,11] row scatter instead of five (scatters serialize per
-    # update — docs/DESIGN.md). nmerges ride as f32: a fresh cell's count is
-    # bounded by the frame pixel count << 2^24, so the round-trip is exact.
+    # two fused row scatters instead of five (scatters serialize per
+    # update — docs/DESIGN.md): one [C,9] for the float fields, one [C,2]
+    # for the integer counters (kept int32 end-to-end — a float carry
+    # would silently round accumulated nmerges beyond 2^24 on
+    # multi-thousand-frame sessions).
     combined = jnp.concatenate(
-        [
-            state.points, state.normals, state.colors,
-            state.nmerges.astype(jnp.float32)[:, None],
-            state.occurences.astype(jnp.float32)[:, None],
-        ],
-        axis=1,
+        [state.points, state.normals, state.colors], axis=1
     )
-    upd = jnp.concatenate(
-        [
-            sp.points, sp.normals, sp.colors,
-            sp.counts.astype(jnp.float32)[:, None],
-            jnp.ones((len(sp.counts), 1), jnp.float32),
-        ],
-        axis=1,
-    )
+    upd = jnp.concatenate([sp.points, sp.normals, sp.colors], axis=1)
     combined = combined.at[dest].set(upd, mode="drop")
     points, normals, colors = combined[:, 0:3], combined[:, 3:6], combined[:, 6:9]
-    nmerges = combined[:, 9].astype(jnp.int32)
-    occ = combined[:, 10].astype(jnp.int32)
+    counters = jnp.stack([state.nmerges, state.occurences], axis=1)
+    upd_i = jnp.stack([sp.counts, jnp.ones_like(sp.counts)], axis=1)
+    counters = counters.at[dest].set(upd_i, mode="drop")
+    nmerges, occ = counters[:, 0], counters[:, 1]
     n = jnp.minimum(state.n + total_new, capacity)
 
     cell2slot = jnp.where(write, dest, -1).astype(jnp.int32)
@@ -361,7 +353,9 @@ def fuse_session(
     points: jax.Array,  # [F, H*W, 3] world points
     normals: jax.Array,  # [F, H*W, 3]
     colors: jax.Array,  # [F, H*W, 3]
-    depth: jax.Array,  # [F, H*W] camera depth (m)
+    depth: Optional[jax.Array],  # unused; pass None (kept for signature
+    # stability — and because a [F, H*W] f32 array is a real host->device
+    # transfer cost, None is the recommended value)
     valid: jax.Array,  # [F, H*W] bool
     *,
     height: int,
@@ -383,6 +377,7 @@ def fuse_session(
     `depth` and `stride` are accepted for signature stability but unused:
     the voxel sparsifier works on world positions and the merge radius (the
     reference's patch stride has no analog in the voxel formulation).
+    Pass depth=None to skip shipping the dead [F, H*W] array to device.
 
     Caller contract: frame 0 should have at least one valid point (the
     reference scans forward for the first such frame, fusion.py:236-238 —
@@ -489,6 +484,26 @@ def fuse_session_checkpointed(
     kw = dict(height=height, width=width, radius=radius,
               min_cosine=min_cosine, max_depth=max_depth, capacity=capacity)
 
+    # Commit protocol: each chunk's state lands in its own state_<frame>
+    # directory FIRST; the marker (naming that directory) is the single
+    # commit point, written after, and stale state dirs are pruned only
+    # after the marker update. A crash between state save and marker write
+    # leaves the marker pointing at the previous state dir — which still
+    # exists — so resume re-fuses the interrupted chunk exactly once
+    # instead of re-applying a committed chunk to a post-chunk state.
+    def _commit(state, next_frame):
+        sdir = ckpt_dir / f"state_{next_frame:07d}"
+        save_state(state, sdir)
+        marker.write_text(_json.dumps(
+            {"next_frame": next_frame, "nframes": F, "capacity": capacity,
+             "state_dir": sdir.name}
+        ))
+        for d in ckpt_dir.glob("state_*"):
+            if d.name != sdir.name:
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+
     if marker.is_file():
         prog = _json.loads(marker.read_text())
         if prog.get("nframes") != F or prog.get("capacity") != capacity:
@@ -498,7 +513,9 @@ def fuse_session_checkpointed(
                 f"{prog.get('capacity')} vs {capacity}) — clear it first"
             )
         nxt = int(prog["next_frame"])
-        state = load_state(ckpt_dir)
+        # pre-versioning markers stored the state at the ckpt root
+        state = load_state(ckpt_dir / prog["state_dir"]
+                           if "state_dir" in prog else ckpt_dir)
         if verbose:
             print(f"resuming fusion at frame {nxt}/{F}")
     else:
@@ -508,10 +525,7 @@ def fuse_session_checkpointed(
             fclr=jnp.asarray(colors[0]), fvalid=jnp.asarray(valid[0]), **kw,
         )
         np.save(ckpt_dir / "uv2pt_0000000.npy", np.asarray(uv2pt0[None]))
-        save_state(state, ckpt_dir)
-        marker.write_text(_json.dumps(
-            {"next_frame": 1, "nframes": F, "capacity": capacity}
-        ))
+        _commit(state, 1)
         nxt = 1
 
     chunks_run = 0
@@ -526,10 +540,7 @@ def fuse_session_checkpointed(
             candidate_px=candidate_px, window=window, **kw,
         )
         np.save(ckpt_dir / f"uv2pt_{nxt:07d}.npy", np.asarray(uv2pt_c))
-        save_state(state, ckpt_dir)
-        marker.write_text(_json.dumps(
-            {"next_frame": end, "nframes": F, "capacity": capacity}
-        ))
+        _commit(state, end)
         if verbose:
             print(f"fused frames [{nxt}, {end}) -> n={int(np.asarray(state.n))}")
         nxt = end
@@ -700,7 +711,7 @@ class Fusion:
             jnp.asarray(s.points[sel]),
             jnp.asarray(s.normals[sel]),
             jnp.asarray(s.colors[sel]),
-            jnp.asarray(s.depth[sel]),
+            None,  # depth unused — skip the dead device transfer
             jnp.asarray(valid[sel]),
             height=h, width=w, stride=int(stride), radius=float(radius),
             min_cosine=min_cosine, max_depth=float(max_depth),

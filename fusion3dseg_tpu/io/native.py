@@ -186,6 +186,8 @@ def components_from_adjacency(adj, labels=None):
     a = np.ascontiguousarray(np.asarray(adj, np.int32))
     assert a.ndim == 2
     n, k = a.shape
+    if n == 0:
+        return np.empty(0, np.int32)
     out = np.empty(n, np.int32)
     lab_ptr = None
     if labels is not None:

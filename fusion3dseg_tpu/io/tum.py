@@ -177,14 +177,7 @@ def load_session(
     from fusion3dseg_tpu.io.rtab import SessionData
 
     seq_dir = Path(seq_dir)
-    if isinstance(intrinsics, str) and intrinsics == "ros_default":
-        # try to infer the kinect unit from the sequence name
-        name = seq_dir.name.lower()
-        for unit in ("fr1", "fr2", "fr3"):
-            if f"freiburg{unit[-1]}" in name or unit in name:
-                intrinsics = unit
-                break
-    K = intrinsics_matrix(intrinsics)
+    K = _resolve_intrinsics(intrinsics, seq_dir)
 
     assoc = load_associations(seq_dir, max_difference)[startf:stopf:stepf]
     if not assoc:
@@ -220,6 +213,18 @@ def load_session(
     ), np.asarray(stamps)
 
 
+def _resolve_intrinsics(intrinsics, seq_dir):
+    """Resolve "ros_default" by sniffing the freiburg unit from the sequence
+    directory name (shared by load_tum_session and convert_to_export_dir)."""
+    if isinstance(intrinsics, str) and intrinsics == "ros_default":
+        name = Path(seq_dir).name.lower()
+        for unit in ("fr1", "fr2", "fr3"):
+            if f"freiburg{unit[-1]}" in name or unit in name:
+                intrinsics = unit
+                break
+    return intrinsics_matrix(intrinsics)
+
+
 def convert_to_export_dir(
     seq_dir,
     out_dir,
@@ -237,13 +242,7 @@ def convert_to_export_dir(
     (out_dir / "rgb").mkdir(parents=True, exist_ok=True)
     (out_dir / "depth").mkdir(exist_ok=True)
 
-    if isinstance(intrinsics, str) and intrinsics == "ros_default":
-        name = seq_dir.name.lower()
-        for unit in ("fr1", "fr2", "fr3"):
-            if f"freiburg{unit[-1]}" in name or unit in name:
-                intrinsics = unit
-                break
-    K = intrinsics_matrix(intrinsics)
+    K = _resolve_intrinsics(intrinsics, seq_dir)
 
     assoc = load_associations(seq_dir, max_difference)
     pose_ts, pose_xyz, pose_q = read_trajectory(seq_dir / "groundtruth.txt")

@@ -177,7 +177,8 @@ def evaluate_synthetic(
 ):
     """Held-out evaluation: mean IoU + pixel accuracy of a Segmenter2D over
     fresh sessions whose seeds never appear in training (training draws
-    seeds < 2^30; eval seeds start at 990_000_000 + seed).
+    seeds uniformly BELOW 2^30, train loop above; eval seeds start AT
+    2^30, so disjointness holds by construction).
 
     Returns {"miou": float, "pixel_acc": float, "per_class_iou": dict}.
     """
@@ -189,7 +190,7 @@ def evaluate_synthetic(
     for s in range(nsessions):
         sess = synthetic.make_session(
             nframes=nframes, depth_hw=(96, 72),
-            room=synthetic.RoomSpec(seed=990_000_000 + seed + s),
+            room=synthetic.RoomSpec(seed=(1 << 30) + seed + s),
             appearance=appearance,
         )
         gts = sess.gt_mask.astype(np.int64)

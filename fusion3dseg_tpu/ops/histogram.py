@@ -47,9 +47,14 @@ def _hist_kernel(c_ref, total_ref, vmax_ref, cls_ref, *, nclasses, threshold):
     cls0 = jnp.zeros(total.shape, jnp.int32)
     vmax, cls = jax.lax.fori_loop(0, nclasses + 1, body, (vmax0, cls0))
 
+    # confidence test formulated EXACTLY like _histogram_classify's
+    # vmax/total >= threshold (f32 division): the multiplied form
+    # vmax >= threshold*total rounds differently for thresholds that are
+    # not exact binary fractions (e.g. 0.6 at vmax/total exactly on the
+    # boundary), and the two paths must classify identically.
     confident = (total > 0) & (vmax > 0) & (
-        vmax.astype(jnp.float32)
-        >= threshold * jnp.maximum(total, 1).astype(jnp.float32)
+        vmax.astype(jnp.float32) / jnp.maximum(total, 1).astype(jnp.float32)
+        >= threshold
     )
     total_ref[...] = total[None]
     vmax_ref[...] = vmax[None]

@@ -78,16 +78,28 @@ def radius_graph(
     return _radius_graph_jit(points, radius, valid, k=k, cap_per_cell=cap_per_cell, chunk=chunk)
 
 
-@partial(jax.jit, static_argnames=("k", "cap_per_cell", "chunk"))
-def _radius_graph_jit(
+@partial(jax.jit, static_argnames=("k", "cap_per_cell", "chunk", "ncap"))
+def _radius_graph_impl(
     points: jax.Array,
     radius: float | jax.Array,
     valid: Optional[jax.Array] = None,
     k: int = 16,
     cap_per_cell: int = 8,
     chunk: int = 4096,
+    ncap: Optional[int] = None,
 ) -> jax.Array:
     """Build a fixed-degree radius-neighbor adjacency.
+
+    One implementation, two cell-lookup strategies selected by `ncap`:
+
+      * ncap=None — sparse: every point binary-searches its 27 neighboring
+        cells in the sorted key array (works for any scene extent);
+      * ncap=<power of two> — dense CSR: [ncap] start/count tables indexed
+        directly by the linear cell key (one scatter-add + one cumsum to
+        build, one fused row gather to query). ~3x faster — searchsorted's
+        log-N scan of serialized single-int gathers dominates the sparse
+        path — but requires every linear key < ncap (the host wrapper
+        guarantees it for bounded scenes).
 
     Args:
       points: [N, 3] float32. N is padded to a multiple of `chunk` internally.
@@ -118,7 +130,8 @@ def _radius_graph_jit(
     def key_of(c):
         return (c[..., 0] * ny + c[..., 1]) * nz + c[..., 2]
 
-    keys = jnp.where(valid, key_of(cells), INT32_MAX)
+    invalid_key = INT32_MAX if ncap is None else ncap
+    keys = jnp.where(valid, key_of(cells), invalid_key)
     ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     skeys, sidx = jax.lax.sort((keys, ids), num_keys=1)
     spts = points[sidx]
@@ -131,6 +144,14 @@ def _radius_graph_jit(
         [jnp.where(svalid, sidx, -1).astype(jnp.float32)[:, None], spts],
         axis=1,
     )
+    if ncap is not None:
+        counts_tab = jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32), keys, num_segments=ncap + 1
+        )
+        starts_tab = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_tab[:ncap])]
+        )  # exclusive prefix: starts_tab[key] = first sorted row of the cell
+        sc_tab = jnp.stack([starts_tab[: ncap + 1], counts_tab], axis=1)
 
     cap = cap_per_cell
     r2 = jnp.float32(radius) * jnp.float32(radius)
@@ -145,11 +166,21 @@ def _radius_graph_jit(
         qp, qc, qv = args  # [B,3], [B,3], [B]
         ncell = qc[:, None, :] + _OFFSETS[None]  # [B, 27, 3]
         ncell_ok = jnp.all(ncell >= 0, axis=-1)
-        nkey = key_of(ncell)  # [B, 27]
-        starts = jnp.searchsorted(skeys, nkey, side="left").astype(jnp.int32)
-        ends = jnp.searchsorted(skeys, nkey, side="right").astype(jnp.int32)
-        pos = starts[..., None] + jnp.arange(cap, dtype=jnp.int32)  # [B,27,cap]
-        in_range = (pos < ends[..., None]) & ncell_ok[..., None]
+        arange_cap = jnp.arange(cap, dtype=jnp.int32)
+        if ncap is None:
+            nkey = key_of(ncell)  # [B, 27]
+            starts = jnp.searchsorted(skeys, nkey, side="left").astype(jnp.int32)
+            ends = jnp.searchsorted(skeys, nkey, side="right").astype(jnp.int32)
+            pos = starts[..., None] + arange_cap  # [B,27,cap]
+            in_range = (pos < ends[..., None]) & ncell_ok[..., None]
+        else:
+            nkey = jnp.where(ncell_ok, key_of(ncell), ncap)
+            nkey = jnp.clip(nkey, 0, ncap)
+            # fused [starts, counts] row gather per neighbor cell
+            sc = sc_tab[nkey]
+            starts, cnts = sc[..., 0], sc[..., 1]
+            pos = starts[..., None] + arange_cap
+            in_range = (arange_cap < cnts[..., None]) & ncell_ok[..., None]
         pos = jnp.clip(pos, 0, n - 1)
         crow = stab[pos]  # [B,27,cap,4] — one fused row gather
         cand_idx = crow[..., 0].astype(jnp.int32)
@@ -174,101 +205,20 @@ def _radius_graph_jit(
     return adj[:n]
 
 
-@partial(jax.jit, static_argnames=("k", "cap_per_cell", "chunk", "ncap"))
-def _radius_graph_dense(
-    points: jax.Array,
-    radius: float | jax.Array,
-    valid: Optional[jax.Array] = None,
-    k: int = 16,
-    cap_per_cell: int = 8,
-    chunk: int = 4096,
-    ncap: int = 1 << 20,
-) -> jax.Array:
-    """Dense-grid CSR variant of _radius_graph_jit for bounded scenes.
+def _radius_graph_jit(points, radius, valid=None, k=16, cap_per_cell=8,
+                      chunk=4096):
+    """Sparse-lookup variant (any extent)."""
+    return _radius_graph_impl(points, radius, valid, k=k,
+                              cap_per_cell=cap_per_cell, chunk=chunk,
+                              ncap=None)
 
-    Same output contract. Instead of binary-searching the sorted keys per
-    neighbor cell (log-N scan of serialized single-int gathers — the
-    dominant cost of the sparse path), builds dense [ncap] start/count
-    tables indexed directly by the linear cell key: one scatter-add + one
-    cumsum to build, one row gather per neighbor cell to query. The host
-    wrapper guarantees every linear key < ncap.
-    """
-    n = points.shape[0]
-    if valid is None:
-        valid = jnp.ones((n,), bool)
-    points = points.astype(jnp.float32)
 
-    big = jnp.float32(3.0e38)
-    pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
-    cells = jnp.floor((points - pmin) / radius).astype(jnp.int32)
-    cells = jnp.maximum(cells, 0)
-    cmax = jnp.max(jnp.where(valid[:, None], cells, -1), axis=0)
-    ny, nz = cmax[1] + 2, cmax[2] + 2
-
-    def key_of(c):
-        return (c[..., 0] * ny + c[..., 1]) * nz + c[..., 2]
-
-    keys = jnp.where(valid, key_of(cells), ncap)  # invalid -> overflow row
-    ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    skeys, sidx = jax.lax.sort((keys, ids), num_keys=1)
-    spts = points[sidx]
-    svalid = valid[sidx]
-    stab = jnp.concatenate(
-        [jnp.where(svalid, sidx, -1).astype(jnp.float32)[:, None], spts],
-        axis=1,
-    )
-    counts_tab = jax.ops.segment_sum(
-        jnp.ones((n,), jnp.int32), keys, num_segments=ncap + 1
-    )
-    starts_tab = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_tab[:ncap])]
-    )  # exclusive prefix: starts_tab[key] = first sorted row of that cell
-
-    cap = cap_per_cell
-    r2 = jnp.float32(radius) * jnp.float32(radius)
-
-    pad = (-n) % chunk
-    q_pts = jnp.pad(points, ((0, pad), (0, 0)))
-    q_cells = jnp.pad(cells, ((0, pad), (0, 0)))
-    q_valid = jnp.pad(valid, (0, pad))
-    nchunks = (n + pad) // chunk
-
-    def one_chunk(args):
-        qp, qc, qv = args
-        ncell = qc[:, None, :] + _OFFSETS[None]  # [B, 27, 3]
-        ncell_ok = jnp.all(ncell >= 0, axis=-1)
-        nkey = jnp.where(ncell_ok, key_of(ncell), ncap)
-        nkey = jnp.clip(nkey, 0, ncap)
-        # fused [starts, counts] row gather per neighbor cell
-        sc = jnp.stack([starts_tab[:ncap + 1], counts_tab], axis=1)[nkey]
-        starts, cnts = sc[..., 0], sc[..., 1]
-        pos = starts[..., None] + jnp.arange(cap, dtype=jnp.int32)
-        in_range = (
-            (jnp.arange(cap, dtype=jnp.int32) < cnts[..., None])
-            & ncell_ok[..., None]
-        )
-        pos = jnp.clip(pos, 0, n - 1)
-        crow = stab[pos]  # [B,27,cap,4]
-        cand_idx = crow[..., 0].astype(jnp.int32)
-        cand_pts = crow[..., 1:]
-        d2 = jnp.sum((cand_pts - qp[:, None, None, :]) ** 2, axis=-1)
-        ok = in_range & (cand_idx >= 0) & (d2 <= r2) & qv[:, None, None]
-        d2 = jnp.where(ok, d2, big).reshape(qp.shape[0], 27 * cap)
-        flat_idx = cand_idx.reshape(qp.shape[0], 27 * cap)
-        neg, top = jax.lax.top_k(-d2, k)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (qp.shape[0], k), 0)
-        out = jnp.where(neg > -big, flat_idx[rows, top], -1)
-        return out.astype(jnp.int32)
-
-    adj = jax.lax.map(
-        one_chunk,
-        (
-            q_pts.reshape(nchunks, chunk, 3),
-            q_cells.reshape(nchunks, chunk, 3),
-            q_valid.reshape(nchunks, chunk),
-        ),
-    ).reshape(n + pad, k)
-    return adj[:n]
+def _radius_graph_dense(points, radius, valid=None, k=16, cap_per_cell=8,
+                        chunk=4096, ncap=1 << 20):
+    """Dense-table variant (bounded scenes; every linear key < ncap)."""
+    return _radius_graph_impl(points, radius, valid, k=k,
+                              cap_per_cell=cap_per_cell, chunk=chunk,
+                              ncap=ncap)
 
 
 def adjacency_to_lists(adj) -> "object":
