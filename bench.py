@@ -226,8 +226,17 @@ def main():
         return np.asarray(x[0])
 
     t0 = time.perf_counter()
-    votes_d, classes_d = run(*dev)
-    sync(classes_d)
+    try:
+        votes_d, classes_d = run(*dev)
+        sync(classes_d)
+    except Exception as e:  # transient tunnel/backend hiccups on the first
+        # execute (observed a one-off FAILED_PRECONDITION right after a
+        # cold compile); one retry rides out flakiness without masking a
+        # real failure — a second error propagates
+        log(f"first run failed ({type(e).__name__}: {e}); retrying once")
+        time.sleep(5)
+        votes_d, classes_d = run(*dev)
+        sync(classes_d)
     log(f"first run (incl compile): {time.perf_counter() - t0:.2f}s")
 
     if args.profile:
