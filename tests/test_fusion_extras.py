@@ -82,6 +82,36 @@ class TestMultiSession:
             np.asarray(st.nmerges), np.asarray(state_ref.nmerges)
         )
 
+    def test_checkpoint_crash_between_state_and_marker(self, tmp_path):
+        """Commit protocol: a crash AFTER the next chunk's state lands but
+        BEFORE the marker names it must leave the run resumable from the
+        previous commit — re-fusing the interrupted chunk exactly once,
+        not re-applying a committed chunk (review finding r2)."""
+        from fusion3dseg_tpu.fusion import fuse_session_checkpointed
+        from fusion3dseg_tpu.fusion.fusion import save_state, _empty_state
+
+        args = _session_arrays(4, F=9)
+        ckw = {k: v for k, v in KW.items() if k != "stride"}
+        state_ref, uv_ref = fuse_session(*(jnp.asarray(x) for x in args), **KW)
+        fuse_session_checkpointed(
+            *args, chunk_frames=3, ckpt_dir=tmp_path, max_chunks=1, **ckw
+        )
+        # simulate the torn commit: an orphan state dir from a crashed
+        # chunk (bogus contents), marker still naming the committed one
+        save_state(_empty_state(KW["capacity"]), tmp_path / "state_0009999")
+        st, uv = fuse_session_checkpointed(
+            *args, chunk_frames=3, ckpt_dir=tmp_path, **ckw
+        )
+        np.testing.assert_array_equal(uv, np.asarray(uv_ref))
+        np.testing.assert_array_equal(
+            np.asarray(st.points), np.asarray(state_ref.points)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st.nmerges), np.asarray(state_ref.nmerges)
+        )
+        # the orphan was pruned at the next commit
+        assert not (tmp_path / "state_0009999").exists()
+
     def test_windowed_fusion_matches_full(self):
         """window >= the visible-slot span must reproduce the full merge
         (ROADMAP #10 buffer windowing)."""
