@@ -270,13 +270,15 @@ def _nat_bwd(height, width, window, row_tile, interpret, res, g):
     # window^2-gather HBM cost is acceptable on the (training-only) backward
     # while the forward keeps the fused kernel
     q, k, v = res
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda q_, k_, v_: neighborhood_attention_reference(
             q_, k_, v_, height, width, window
         ),
         q, k, v,
     )
-    dq, dk, dv = vjp(g.astype(jnp.float32))
+    # the cotangent must match the reference's OUTPUT dtype exactly (bf16
+    # under mixed precision — an f32 cast here fails jax.vjp's type check)
+    dq, dk, dv = vjp(g.astype(out.dtype))
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -118,6 +118,26 @@ class TestNeighborhoodAttention:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
+    def test_nat_grad_bf16(self, rng):
+        """The custom VJP must accept MIXED-PRECISION cotangents: under
+        bf16 compute the reference's output is bf16, and jax.vjp rejects
+        an f32-cast cotangent (regression: the b0-NAT training A/B)."""
+        B, Hh, D, H, W, K = 1, 1, 8, 8, 8, 3
+        q = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, H * W, Hh, D)), jnp.bfloat16)
+
+        def loss(q, k, v):
+            out = attention.neighborhood_attention(
+                q, k, v, H, W, window=K, row_tile=4, interpret=True
+            )
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        assert dq.dtype == jnp.bfloat16
+        for d in (dq, dk, dv):
+            assert np.isfinite(np.asarray(d, np.float32)).all()
+
     @pytest.mark.skipif(
         jax.devices()[0].platform != "tpu", reason="pallas kernel needs TPU"
     )
