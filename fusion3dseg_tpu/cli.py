@@ -10,6 +10,7 @@ This exposes every stage as a subcommand over the typed configs:
   python -m fusion3dseg_tpu seg3d <out_dir> <mask_dir> [--threshold ...]
   python -m fusion3dseg_tpu remove-classes <out_dir> <mask_dir>
   python -m fusion3dseg_tpu doorwindow <out_dir>
+  python -m fusion3dseg_tpu tum <seq_dir> [out_dir] [--intrinsics fr1]
   python -m fusion3dseg_tpu synth <out_dir> [--frames ...]
   python -m fusion3dseg_tpu train [--steps ...]
   python -m fusion3dseg_tpu all <export_dir> <out_dir>   (full pipeline)
@@ -91,6 +92,20 @@ def main(argv=None):
     s.add_argument("--radius", type=float, default=0.1, help="adjacency radius")
     s.add_argument("--from-point", action="store_true",
                    help="grow from the single seed instead of its whole instance")
+
+    s = sub.add_parser(
+        "tum", help="ingest a TUM RGB-D sequence (convert to an "
+                    "rtabmap-export-style dir, or just probe it)"
+    )
+    s.add_argument("seq_dir", help="TUM sequence dir (rgb.txt/depth.txt/groundtruth.txt)")
+    s.add_argument("out_dir", nargs="?", default=None,
+                   help="write an export-style dir here; omit to only "
+                        "probe/associate and print session stats")
+    s.add_argument("--intrinsics", default="ros_default",
+                   help="freiburg preset (fr1/fr2/fr3/ros_default; "
+                        "auto-matched against the dir name) or fx,fy,cx,cy")
+    s.add_argument("--max-difference", type=float, default=0.02,
+                   help="association timestamp tolerance (seconds)")
 
     s = sub.add_parser("synth", help="generate a synthetic test session")
     s.add_argument("out_dir")
@@ -219,6 +234,26 @@ def main(argv=None):
                 grow_from_instance=not args.from_point,
             )
         print(f"grew {int(grown.sum())} points; wrote cv_segmentation/")
+
+    elif args.cmd == "tum":
+        from fusion3dseg_tpu.io import tum
+
+        intr = args.intrinsics
+        if "," in intr:
+            intr = tuple(float(x) for x in intr.split(","))
+        if args.out_dir is not None:
+            out = tum.convert_to_export_dir(
+                args.seq_dir, args.out_dir, intrinsics=intr,
+                max_difference=args.max_difference,
+            )
+            print(f"wrote export-style session to {out}")
+        else:
+            sd, _stamps = tum.load_session(
+                args.seq_dir, intrinsics=intr,
+                max_difference=args.max_difference,
+            )
+            print(f"{sd.nframes} associated frames, depth {sd.depth_hw}, "
+                  f"rgb {sd.rgb_hw}")
 
     elif args.cmd == "synth":
         from fusion3dseg_tpu.io import synthetic

@@ -1,6 +1,7 @@
 from fusion3dseg_tpu.fusion.fusion import (  # noqa: F401
     Fusion,
     FusionState,
+    auto_window,
     fuse_chunk,
     fuse_session,
     fuse_session_checkpointed,

@@ -116,6 +116,58 @@ def _seed_frame(
     return state, uv2pt
 
 
+def _match_pixels(
+    grid, slotg, fpts, fnrm, fvalid,
+    *, height, width, half, radius, min_cosine,
+):
+    """Match every dense pixel against its 3x3 cell neighborhood's
+    candidates (step 3b of the fuse step; shared with the spatially
+    sharded engine, parallel/fusion.py).
+
+    Args:
+      grid: [gh, gw, 12] per-cell candidate data — 2 depth-ordered
+        candidates x (position, normal), zeros where absent.
+      slotg: [gh, gw, 2] candidate ids in the CALLER's id space, -1 absent.
+      fpts, fnrm: [P, 3] dense frame points/normals; fvalid: [P] bool.
+
+    Returns (match [P] id-or--1, matched [P] bool). Candidates live on the
+    regular cell grid, so the per-pixel view is built with zero gathers at
+    pixel rank (padded shifts + broadcast upsample; docs/DESIGN.md).
+    Candidate-axis order (candidate-major, then the 3x3 offsets row-major)
+    fixes argmin tie-breaks.
+    """
+    P = height * width
+    gh, gw = grid.shape[:2]
+    padg = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)))
+    pads = jnp.pad(slotg, ((1, 1), (1, 1), (0, 0)), constant_values=-1)
+    neigh = jnp.stack(
+        [padg[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
+        axis=2,
+    )  # [gh, gw, 9, 12]
+    nslot = jnp.stack(
+        [pads[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
+        axis=2,
+    )  # [gh, gw, 9, 2]
+    # cell -> pixel upsample (pixel (v,u) reads cell (v//half, u//half))
+    pixd = jnp.repeat(jnp.repeat(neigh, half, axis=0), half, axis=1)[:height, :width]
+    pixs = jnp.repeat(jnp.repeat(nslot, half, axis=0), half, axis=1)[:height, :width]
+    # [P, 2, 9, 6] -> [P, 18, 6]: candidate-major like the old concat
+    cpn = pixd.reshape(P, 9, 2, 6).transpose(0, 2, 1, 3).reshape(P, 18, 6)
+    cand = pixs.reshape(P, 9, 2).transpose(0, 2, 1).reshape(P, 18)
+
+    cmask = cand >= 0
+    cpts, cnrm = cpn[..., :3], cpn[..., 3:]
+    dist = jnp.linalg.norm(fpts[:, None, :] - cpts, axis=-1)
+    cosn = jnp.sum(fnrm[:, None, :] * cnrm, axis=-1)
+    passes = cmask & (dist < radius) & (cosn > min_cosine) & fvalid[:, None]
+    dist = jnp.where(passes, dist, jnp.inf)
+    best = jnp.argmin(dist, axis=-1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+    matched = jnp.any(passes, axis=-1)
+    match = jnp.where(matched, cand[rows, best], -1)
+    return match, matched
+
+
 def _fuse_frame(
     state: FusionState,
     q, t, fpts, fnrm, fclr, fvalid,
@@ -228,56 +280,27 @@ def _fuse_frame(
         )[:ncells]
         cand2_of_cell = jnp.where(winner2 == INT32_MAX, -1, winner2)
 
-    # 3b. every dense pixel reads candidates from its 3x3 cell neighborhood.
-    # Candidates live on the regular cell GRID, so the per-pixel view is
-    # built with zero gathers at pixel rank: gather candidate data once per
-    # CELL (2*ncells rows — ~20x fewer than the [P,18] row gather this
-    # replaces; gathers serialize per row, docs/DESIGN.md), lay it out as a
-    # [gh, gw] image, take the 9 padded shifts, and broadcast-upsample
-    # cells to pixels (vectorized copies). Candidate-axis order (candidate
-    # major, then the 3x3 offsets row-major) matches the old concat
-    # ordering so argmin tie-breaks are bit-identical.
+    # 3b. every dense pixel reads candidates from its 3x3 cell neighborhood
+    # (_match_pixels). Candidate data is gathered once per CELL (2*ncells
+    # rows — ~20x fewer than the [P,18] row gather this replaces; gathers
+    # serialize per row, docs/DESIGN.md).
     cands2 = jnp.stack([cand_of_cell, cand2_of_cell], axis=1)  # [ncells, 2]
     cmask_cell = cands2 >= 0
     csafe_cell = jnp.where(cmask_cell, cands2, 0)
     cdata = jnp.concatenate([pts_w, nrm_w], axis=1)[csafe_cell]  # [ncells, 2, 6]
     grid = jnp.where(cmask_cell[..., None], cdata, 0.0).reshape(gh, gw, 12)
     slotg = jnp.where(cmask_cell, cands2, -1).reshape(gh, gw, 2)
-    padg = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)))
-    pads = jnp.pad(slotg, ((1, 1), (1, 1), (0, 0)), constant_values=-1)
-    neigh = jnp.stack(
-        [padg[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
-        axis=2,
-    )  # [gh, gw, 9, 12]
-    nslot = jnp.stack(
-        [pads[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
-        axis=2,
-    )  # [gh, gw, 9, 2]
-    # cell -> pixel upsample (pixel (v,u) reads cell (v//half, u//half))
-    pixd = jnp.repeat(jnp.repeat(neigh, half, axis=0), half, axis=1)[:height, :width]
-    pixs = jnp.repeat(jnp.repeat(nslot, half, axis=0), half, axis=1)[:height, :width]
-    # [P, 2, 9, 6] -> [P, 18, 6]: candidate-major like the old concat
-    cpn = (
-        pixd.reshape(P, 9, 2, 6).transpose(0, 2, 1, 3).reshape(P, 18, 6)
-    )
-    cand = pixs.reshape(P, 9, 2).transpose(0, 2, 1).reshape(P, 18)
+    match, matched = _match_pixels(
+        grid, slotg, fpts, fnrm, fvalid, height=height, width=width,
+        half=half, radius=radius, min_cosine=min_cosine,
+    )  # [P] window-local slot or -1
 
-    cmask = cand >= 0
     if W < capacity:
         clr_w = jax.lax.dynamic_slice(state.colors, (w0, 0), (W, 3))
         nm_w = jax.lax.dynamic_slice(state.nmerges, (w0,), (W,))
         occ_w = jax.lax.dynamic_slice(state.occurences, (w0,), (W,))
     else:
         clr_w, nm_w, occ_w = state.colors, state.nmerges, state.occurences
-    cpts, cnrm = cpn[..., :3], cpn[..., 3:]
-    dist = jnp.linalg.norm(fpts[:, None, :] - cpts, axis=-1)
-    cosn = jnp.sum(fnrm[:, None, :] * cnrm, axis=-1)
-    passes = cmask & (dist < radius) & (cosn > min_cosine) & fvalid[:, None]
-    dist = jnp.where(passes, dist, jnp.inf)
-    best = jnp.argmin(dist, axis=-1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
-    matched = jnp.any(passes, axis=-1)
-    match = jnp.where(matched, cand[rows, best], -1)  # [P] window-local slot or -1
 
     # 4. merge matched dense pixels into their sparse slots (running mean of
     #    this frame's matches + the current sparse value, fusion.py:288-295)
@@ -342,7 +365,7 @@ def _fuse_frame(
 @partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "stride", "radius", "min_cosine", "max_depth",
+        "height", "width", "radius", "min_cosine", "max_depth",
         "capacity", "candidate_px", "window",
     ),
 )
@@ -353,14 +376,10 @@ def fuse_session(
     points: jax.Array,  # [F, H*W, 3] world points
     normals: jax.Array,  # [F, H*W, 3]
     colors: jax.Array,  # [F, H*W, 3]
-    depth: Optional[jax.Array],  # unused; pass None (kept for signature
-    # stability — and because a [F, H*W] f32 array is a real host->device
-    # transfer cost, None is the recommended value)
     valid: jax.Array,  # [F, H*W] bool
     *,
     height: int,
     width: int,
-    stride: int,
     radius: float,
     min_cosine: float,
     max_depth: float,
@@ -374,16 +393,16 @@ def fuse_session(
     1..F-1 run the merge step under lax.scan. Returns (final state,
     uv2pt [F, H*W] int32).
 
-    `depth` and `stride` are accepted for signature stability but unused:
-    the voxel sparsifier works on world positions and the merge radius (the
-    reference's patch stride has no analog in the voxel formulation).
-    Pass depth=None to skip shipping the dead [F, H*W] array to device.
+    Unlike the reference's fuse there is no `stride` argument: the voxel
+    sparsifier works on world positions and the merge radius (the patch
+    stride has no analog in the voxel formulation), and the per-pixel
+    `depth` image is redundant with the world `points` (reference
+    fusion.py:212-245 carries both).
 
     Caller contract: frame 0 should have at least one valid point (the
     reference scans forward for the first such frame, fusion.py:236-238 —
     do that on the host before calling).
     """
-    del depth, stride
     state = _empty_state(capacity)
     kw = dict(
         height=height, width=width, radius=radius,
@@ -451,7 +470,7 @@ def fuse_chunk(
 
 
 def fuse_session_checkpointed(
-    Ks, quats_wxyz, translations, points, normals, colors, depth, valid,
+    Ks, quats_wxyz, translations, points, normals, colors, valid,
     *, height, width, radius, min_cosine, max_depth, capacity,
     candidate_px: int = 1, window: Optional[int] = None,
     chunk_frames: int = 64, ckpt_dir,
@@ -483,6 +502,15 @@ def fuse_session_checkpointed(
     F = int(np.asarray(quats_wxyz).shape[0])
     kw = dict(height=height, width=width, radius=radius,
               min_cosine=min_cosine, max_depth=max_depth, capacity=capacity)
+    # every parameter the scan math depends on — resuming under ANY changed
+    # value would silently continue from state fused under the old one,
+    # breaking the advertised bit-exactness (review finding r2)
+    params = dict(
+        nframes=F, capacity=capacity, height=height, width=width,
+        radius=float(radius), min_cosine=float(min_cosine),
+        max_depth=float(max_depth), candidate_px=candidate_px,
+        window=None if window is None else int(window),
+    )
 
     # Commit protocol: each chunk's state lands in its own state_<frame>
     # directory FIRST; the marker (naming that directory) is the single
@@ -495,8 +523,7 @@ def fuse_session_checkpointed(
         sdir = ckpt_dir / f"state_{next_frame:07d}"
         save_state(state, sdir)
         marker.write_text(_json.dumps(
-            {"next_frame": next_frame, "nframes": F, "capacity": capacity,
-             "state_dir": sdir.name}
+            {"next_frame": next_frame, "state_dir": sdir.name, **params}
         ))
         for d in ckpt_dir.glob("state_*"):
             if d.name != sdir.name:
@@ -506,11 +533,19 @@ def fuse_session_checkpointed(
 
     if marker.is_file():
         prog = _json.loads(marker.read_text())
-        if prog.get("nframes") != F or prog.get("capacity") != capacity:
+        bad = {
+            k: (prog.get(k), v) for k, v in params.items()
+            # pre-r3 markers recorded only nframes/capacity; missing keys
+            # on those can't be validated, so only mismatches reject
+            if k in prog and prog[k] != v
+        }
+        if bad:
+            detail = ", ".join(
+                f"{k} {old!r} vs {new!r}" for k, (old, new) in bad.items()
+            )
             raise ValueError(
-                f"checkpoint at {ckpt_dir} is for a different session "
-                f"(nframes {prog.get('nframes')} vs {F}, capacity "
-                f"{prog.get('capacity')} vs {capacity}) — clear it first"
+                f"checkpoint at {ckpt_dir} is for a different session or "
+                f"parameterization ({detail}) — clear it first"
             )
         nxt = int(prog["next_frame"])
         # pre-versioning markers stored the state at the ckpt root
@@ -556,12 +591,12 @@ def fuse_session_checkpointed(
 @partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "stride", "radius", "min_cosine", "max_depth", "capacity",
+        "height", "width", "radius", "min_cosine", "max_depth", "capacity",
     ),
 )
 def fuse_sessions_batch(
-    Ks, quats_wxyz, translations, points, normals, colors, depth, valid,
-    *, height, width, stride, radius, min_cosine, max_depth, capacity,
+    Ks, quats_wxyz, translations, points, normals, colors, valid,
+    *, height, width, radius, min_cosine, max_depth, capacity,
 ):
     """Fuse a BATCH of sessions in one program (vmap over the session axis).
 
@@ -571,11 +606,32 @@ def fuse_sessions_batch(
     runs under vmap; shard the session axis over a mesh for multi-chip).
     Returns (FusionState with leading S axis, uv2pt [S, F, HW]).
     """
-    kw = dict(height=height, width=width, stride=stride, radius=radius,
+    kw = dict(height=height, width=width, radius=radius,
               min_cosine=min_cosine, max_depth=max_depth, capacity=capacity)
     return jax.vmap(lambda *a: fuse_session(*a, **kw))(
-        Ks, quats_wxyz, translations, points, normals, colors, depth, valid
+        Ks, quats_wxyz, translations, points, normals, colors, valid
     )
+
+
+def auto_window(seed_cells: int, capacity: int) -> Optional[int]:
+    """Pick a merge window from the seed frame's sparsification density.
+
+    The windowed merge path (see _fuse_frame) bounds the z-buffer scatters
+    and merge segment-sums to W slots; measured on the chip the unwindowed
+    path at capacity 2^20 runs ~3x slower than a right-sized window, so a
+    large-capacity run with no explicit window should window automatically
+    (VERDICT r2 #5). Heuristic: a frame's visible slot span covers roughly
+    the slots appended while the view overlapped — a few seed-frames' worth
+    of cells; 8x the seed density (rounded up to a power of two, floor 2^13)
+    reproduces the hand-tuned 2^17 window of the 1M-capacity benchmark at
+    its ~12-16k-cell seed frames. Returns None (unwindowed) when capacity
+    is small enough that the full merge is already fast, or when the
+    estimate reaches capacity (window would be a no-op).
+    """
+    if capacity <= (1 << 18):
+        return None
+    w = 1 << max(int(np.ceil(np.log2(max(8 * seed_cells, 2)))), 13)
+    return None if w >= capacity else int(w)
 
 
 def visible_span_from_uv2pt(uv2pt) -> np.ndarray:
@@ -632,7 +688,10 @@ class Fusion:
     point_range: Optional[Tuple[float, float]] = None
     decimation: int = 1
     capacity: Optional[int] = 1 << 20  # None -> auto-size from the seed frame
-    window: Optional[int] = None  # bound per-frame merge work (ROADMAP #10)
+    # merge-window knob (ROADMAP #10): "auto" sizes it from the seed frame's
+    # density (auto_window) so large-capacity runs get windowed merge speed
+    # by default; None forces the full unwindowed merge; an int is manual
+    window: object = "auto"
     save_lookups: bool = True
     out_dir: Optional[str] = None
 
@@ -674,9 +733,11 @@ class Fusion:
     ):
         """Run session fusion; returns (points, normals, colors, nmerges,
         occurences) numpy arrays of the live prefix — the reference's fuse
-        return contract (fusion.py:324)."""
+        return contract (fusion.py:324). `stride` is accepted for the
+        reference's signature (fusion.py:212) but has no effect: the voxel
+        sparsifier has no patch-stride axis (radius governs)."""
+        del stride
         self.ds_radius, self.ds_angle = radius, angle
-        stride = max(10, int(radius * 200)) if stride is None else stride
         min_cosine = float(np.cos(np.deg2rad(angle)))
         h, w = self.session.depth_hw
 
@@ -685,10 +746,9 @@ class Fusion:
         start = int(np.argmax(valid.any(axis=1)))
         sel = np.r_[start, np.arange(start + 1, self.nframes, skip)]
 
-        if self.capacity is None:
-            # auto-size: seed-frame sparsification density x a generous
-            # per-frame growth allowance; the saturation warning below is
-            # the backstop if a pathological session still overflows
+        n0 = None
+        if self.capacity is None or self.window == "auto":
+            # seed-frame sparsification density drives both auto knobs
             s0 = self.session
             sp = sparsify.patch_sparsify(
                 jnp.asarray(s0.points[start]), jnp.asarray(s0.normals[start]),
@@ -696,12 +756,21 @@ class Fusion:
                 h, w, float(radius), min_cosine,
             )
             n0 = max(int(np.asarray(jnp.sum(sp.counts > 0))), 256)
+        if self.capacity is None:
+            # auto-size: seed density x a generous per-frame growth
+            # allowance; the saturation warning below is the backstop if a
+            # pathological session still overflows
             est = n0 * (2 + len(sel) // 2)
             self.capacity = int(
                 min(max(1 << (est - 1).bit_length(), 1 << 14), 1 << 21)
             )
             if verbose:
                 print(f"auto capacity: seed {n0} cells -> {self.capacity}")
+        window = self.window
+        if window == "auto":
+            window = auto_window(n0, self.capacity)
+            if verbose and window is not None:
+                print(f"auto window: seed {n0} cells -> {window}")
 
         s = self.session
         state, uv2pt = fuse_session(
@@ -711,11 +780,10 @@ class Fusion:
             jnp.asarray(s.points[sel]),
             jnp.asarray(s.normals[sel]),
             jnp.asarray(s.colors[sel]),
-            None,  # depth unused — skip the dead device transfer
             jnp.asarray(valid[sel]),
-            height=h, width=w, stride=int(stride), radius=float(radius),
+            height=h, width=w, radius=float(radius),
             min_cosine=min_cosine, max_depth=float(max_depth),
-            capacity=self.capacity, window=self.window,
+            capacity=self.capacity, window=window,
         )
         n = int(state.n)
         if n >= self.capacity:

@@ -167,9 +167,12 @@ def make_session(
     max_depth: float = 10.0,
     noise: float = 0.0,
     appearance: str = "flat",
+    turns: float = 1.0,
 ) -> SyntheticSession:
     """Generate a session: circular trajectory inside the room, cameras
-    looking outward, depth + ground-truth class mask per frame.
+    looking outward, depth + ground-truth class mask per frame. `turns`
+    laps the circle that many times (> 1 produces repeated loop closures —
+    the long-session soak's windowing stress case).
 
     appearance:
       * "flat" — one fixed color per class across ALL sessions (fast; fine
@@ -299,7 +302,7 @@ def make_session(
     trans = np.zeros((nframes, 3))
 
     for fidx in range(nframes):
-        ang = 2 * np.pi * fidx / max(nframes, 1)
+        ang = 2 * np.pi * turns * fidx / max(nframes, 1)
         eye = center + r_traj * np.array([np.cos(ang), 0.0, np.sin(ang)])
         fwd = np.array([np.cos(ang), -0.1, np.sin(ang)])  # look outward, slightly down
         R = _look_rotation(fwd)

@@ -218,42 +218,68 @@ def evaluate_synthetic(
 def save_train_state(checkpoint_dir, params, opt_state, it: int) -> None:
     """Full resumable snapshot (params + optimizer state + step count).
 
-    The reference's checkpoint story is stage artifacts on disk (SURVEY §5);
-    training is a new capability, so its resume story is orbax: params under
-    <dir>/params (the Segmenter2D-compatible layout) and the optimizer
-    state + step under <dir>/opt_state, <dir>/step."""
+    Atomic commit protocol (review finding r2 — the fusion checkpoint's
+    marker protocol, fusion/fusion.py): params and opt_state land in
+    step-named directories FIRST, step.txt (the single commit point) is
+    written after both, and older snapshots are pruned only then. A crash
+    mid-save leaves the previous commit fully intact — params and
+    opt_state can never come from different steps. <dir>/params is
+    maintained as a symlink to the committed snapshot so the
+    Segmenter2D(checkpoint_dir=...) layout keeps working."""
+    import os
+    import shutil
     from pathlib import Path
 
     import orbax.checkpoint as ocp
 
-    from fusion3dseg_tpu.pipeline.get2dseg import save_checkpoint
-
-    save_checkpoint(checkpoint_dir, params)
+    d = Path(checkpoint_dir)
+    d.mkdir(parents=True, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
+    pdir, odir = f"params_{it:08d}", f"opt_state_{it:08d}"
+    ckptr.save(d.absolute() / pdir, params, force=True)
     flat, _ = jax.tree.flatten(opt_state)
-    ckptr.save(Path(checkpoint_dir).absolute() / "opt_state", flat, force=True)
+    ckptr.save(d.absolute() / odir, flat, force=True)
     ckptr.wait_until_finished()
-    (Path(checkpoint_dir) / "step.txt").write_text(str(it))
+    (d / "step.txt").write_text(str(it))  # commit point
+    link = d / "params"
+    if link.exists() and not link.is_symlink():
+        shutil.rmtree(link)  # legacy pre-r3 real directory
+    tmp = d / ".params_tmp"
+    if tmp.is_symlink() or tmp.exists():
+        tmp.unlink()
+    os.symlink(pdir, tmp)
+    os.replace(tmp, link)  # atomic swap of the compatible view
+    for p in list(d.glob("params_????????")) + list(d.glob("opt_state_????????")):
+        if p.name not in (pdir, odir):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def load_train_state(checkpoint_dir, like_params, like_opt_state):
     """Restore (params, opt_state, step) saved by save_train_state; the
-    `like_*` trees come from a fresh init and fix structure/shape/dtype."""
+    `like_*` trees come from a fresh init and fix structure/shape/dtype.
+    Understands both the committed step-named layout and the legacy flat
+    layout (<dir>/params + <dir>/opt_state)."""
     from pathlib import Path
 
     import orbax.checkpoint as ocp
 
-    from fusion3dseg_tpu.pipeline.get2dseg import load_checkpoint
-
-    params = load_checkpoint(checkpoint_dir, like_params)
+    d = Path(checkpoint_dir)
+    it = int((d / "step.txt").read_text())
     ckptr = ocp.StandardCheckpointer()
+    pdir = d / f"params_{it:08d}"
+    params = ckptr.restore(
+        (pdir if pdir.is_dir() else d / "params").absolute(),
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like_params
+        ),
+    )
     flat, treedef = jax.tree.flatten(like_opt_state)
     flat_like = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in flat]
+    odir = d / f"opt_state_{it:08d}"
     restored = ckptr.restore(
-        Path(checkpoint_dir).absolute() / "opt_state", flat_like
+        (odir if odir.is_dir() else d / "opt_state").absolute(), flat_like
     )
     opt_state = jax.tree.unflatten(treedef, restored)
-    it = int((Path(checkpoint_dir) / "step.txt").read_text())
     return params, opt_state, it
 
 

@@ -100,10 +100,15 @@ def sr_attention(
 # ---------------------------------------------------------------------------
 # Neighborhood (sliding-window) attention — the masked/windowed variant XLA
 # cannot fuse (VERDICT r1 #9 / ROADMAP #5). Each query token attends to the
-# window x window spatial neighborhood around it, clamped (masked) at image
-# borders — NAT semantics (Hassani et al.), the natural high-resolution
-# stage-1 replacement for spatial-reduction attention: local detail is
-# preserved instead of 8x-average-pooled away.
+# window x window spatial neighborhood around it, MASKED at image borders
+# (a corner token sees only its ~(r+1)^2 in-image neighbors) — i.e. masked
+# sliding-window / SASA-style local attention, NOT exact NAT parity:
+# Hassani et al.'s neighborhood attention instead SHIFTS the window at
+# borders so every query attends to exactly window^2 keys. The masked
+# semantics are internally consistent across kernel / XLA reference / VJP
+# (review finding r2). This is the natural high-resolution stage-1
+# replacement for spatial-reduction attention: local detail is preserved
+# instead of 8x-average-pooled away.
 #
 # Why XLA can't do this well: the windowed score tensor requires either a
 # [N, window^2, D] gathered-key materialization (HBM traffic ~ window^2 x

@@ -74,6 +74,34 @@ def propagate_labels(
     return labels
 
 
+def symmetrize_adjacency(adj: np.ndarray) -> np.ndarray:
+    """Add every missing reverse edge to a fixed-degree [N, K] adjacency.
+
+    Returns [N, K'] int32 (-1 padded) whose edge set is the symmetric
+    closure of the input's; K' grows to the maximum resulting degree, rows
+    are sorted by neighbor index (order is irrelevant to component
+    propagation), and duplicate edges are collapsed.
+    """
+    adj = np.asarray(adj)
+    n, k = adj.shape if adj.ndim == 2 else (len(adj), 0)
+    if n == 0 or k == 0:
+        return np.zeros((n, 0), np.int32)
+    src = np.repeat(np.arange(n, dtype=np.int64), k)
+    dst = adj.astype(np.int64).ravel()
+    ok = dst >= 0
+    src, dst = src[ok], dst[ok]
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    a = (key // n).astype(np.int32)
+    b = (key % n).astype(np.int32)
+    counts = np.bincount(a, minlength=n)
+    k2 = int(counts.max()) if len(counts) else 0
+    out = np.full((n, k2), -1, np.int32)
+    row_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(a)) - row_start[a]
+    out[a, slot] = b
+    return out
+
+
 def split_into_instances(
     classes: np.ndarray,
     adj: jax.Array | np.ndarray,
@@ -99,9 +127,18 @@ def split_into_instances(
       backend: "auto" (native C++ union-find over the adjacency when the
         library is available — ~30x faster than the device propagation for
         a host-resident graph — else device), "native", or "device". Both
-        produce component id = minimum member point index; on reciprocal
-        adjacencies (radius graphs below the degree cap) the results are
-        identical.
+        produce component id = minimum member point index.
+
+    Edge-direction semantics: components are WEAKLY connected — every
+    stored edge (i -> adj[i][k]) counts in both directions. Union-find is
+    undirected by construction; the device propagation path symmetrizes
+    the adjacency first so the two backends agree on ANY input, including
+    degree-capped adjacencies whose reverse edge was dropped (review
+    finding r2). This deviates from the reference's BFS over stored
+    out-edges only (cv.py:425-440) exactly on such non-reciprocal rows —
+    where the reference's own answer depends on visit order; the physical
+    radius relation is symmetric, so the undirected reading is taken as
+    canonical.
 
     Returns:
       (unique instance ids [M], per-point ids [N], info list of
@@ -131,9 +168,12 @@ def split_into_instances(
         if labels is None and backend == "native":
             raise RuntimeError("native components_from_adjacency unavailable")
     if labels is None:
+        # symmetrize so directed min-label propagation matches union-find's
+        # undirected components on degree-capped adjacencies
         labels = np.asarray(
             propagate_labels(
-                jnp.asarray(adj, jnp.int32), jnp.asarray(classes, jnp.int32),
+                jnp.asarray(symmetrize_adjacency(np.asarray(adj)), jnp.int32),
+                jnp.asarray(classes, jnp.int32),
                 max_iters=max_iters,
             )
         )

@@ -50,6 +50,14 @@ def radius_graph(
     import numpy as np
 
     pts_host = np.asarray(points)
+    if len(pts_host) >= (1 << 24):
+        # candidate ids ride the fused stab table as float32 (exact only
+        # below 2^24); beyond that adjacency indices would silently corrupt
+        # (review finding r2) — the native C++ builder has no such bound
+        raise ValueError(
+            f"radius_graph supports < 2^24 points (got {len(pts_host)}); "
+            "use fusion3dseg_tpu.io.native.radius_graph for larger clouds"
+        )
     fin = np.isfinite(pts_host).all(axis=-1)
     if valid is not None:
         fin &= np.asarray(valid)

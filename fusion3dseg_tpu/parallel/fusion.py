@@ -1,8 +1,19 @@
-"""Multi-chip fusion engine: frame-chunk-sharded scans + voxel buffer merge.
+"""Multi-chip fusion engine: two decompositions of reference fusion.py:212-324.
+
+  1. fuse_session_sharded — FRAME-sharded: each device scans its contiguous
+     chunk of frames into its own full-size buffer, reconciled by one
+     post-hoc voxel merge (zero communication during the scan; per-chip
+     memory unchanged).
+  2. fuse_session_spatial_sharded — BUFFER-sharded: each device owns a
+     spatial partition of the sparse buffer itself; every frame merges
+     against the whole distributed buffer through three small per-frame
+     collectives. Total capacity scales with the mesh — the genuine
+     10M+-point scaling axis (VERDICT r2 #2) — and no reconciliation step
+     exists. See the section comment below.
 
 The dense-RGBD -> sparse-cloud fusion scan (fusion/fusion.py, the TPU
 re-design of reference fusion.py:212-324) is sequential in its sparse-buffer
-state, so the multi-chip decomposition splits the SESSION: each device runs
+state, so the frame-sharded decomposition splits the SESSION: each device runs
 the full single-chip scan over its contiguous chunk of F/D frames (zero
 communication — the scan never leaves the chip), and the D per-device sparse
 buffers combine afterwards with ONE weighted voxel merge at the fusion
@@ -33,8 +44,13 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from fusion3dseg_tpu.fusion.fusion import FusionState, _empty_state, _fuse_frame, _seed_frame
+from fusion3dseg_tpu.fusion.fusion import (
+    FusionState, _append_sparsified, _empty_state, _fuse_frame,
+    _match_pixels, _seed_frame,
+)
+from fusion3dseg_tpu.geometry import camera, intersections
 from fusion3dseg_tpu.ops import sparsify
+from fusion3dseg_tpu.ops.zbuffer import INT32_MAX
 
 
 def fuse_session_sharded(
@@ -131,4 +147,307 @@ def fuse_session_sharded(
         -1,
     ).astype(jnp.int32)
     uv2pt = jnp.where(uv2pt >= 0, remap[jnp.clip(uv2pt, 0, remap.shape[0] - 1)], -1)
+    return merged, uv2pt
+
+
+# ---------------------------------------------------------------------------
+# Spatially sharded fusion BUFFER (VERDICT r2 #2): the sparse buffer itself
+# is partitioned across devices — each device owns the slots whose creation
+# position hashed into its spatial regions — so total capacity scales with
+# the mesh (the genuine BASELINE config-5 axis), unlike the frame-sharded
+# decomposition above whose per-chip buffer is full-size.
+#
+# Per frame, every step of the single-chip fuse step (fusion/fusion.py
+# _fuse_frame) keeps its shape, with three small collectives replacing
+# shared memory:
+#   * each device culls + projects + z-buffers ITS slots into the candidate
+#     cell grid; a pmin over the packed (depth, windowed-global-id) entries
+#     yields the SAME global dual-candidate set the single-chip kernel
+#     would pick (identical z spec; ties break by windowed id);
+#   * candidate positions/normals are fetched from their owners by one
+#     psum of owner-masked rows ([ncells, 2, 6] — a few MB over ICI);
+#   * pixel matching is replicated (_match_pixels — O(P) elementwise, far
+#     cheaper than shipping per-pixel data around);
+#   * each device merges only the matches it owns (its share of the
+#     capacity-bound segment-sum) and appends only the leftover voxel
+#     cells it owns (zero-communication append: the sparsify is
+#     deterministic and replicated, ownership is a pure hash).
+# `window` bounds each device's z-buffer/merge work to a slice of its OWN
+# shard, exactly like the single-chip windowed path.
+# ---------------------------------------------------------------------------
+
+
+def _owner_hash(pos, region: float, ndev: int):
+    """Spatial owner of a position: hash of its region-grid cell, mod the
+    mesh axis size (the standard 3-prime grid hash; load-balances room
+    scenes across devices while keeping each region's points together)."""
+    cell = jnp.floor(pos / region).astype(jnp.int32)
+    h = (cell[..., 0] * 73856093) ^ (cell[..., 1] * 19349663) ^ (
+        cell[..., 2] * 83492791
+    )
+    return (h & 0x7FFFFFFF) % ndev
+
+
+def fuse_session_spatial_sharded(
+    mesh: Mesh,
+    Ks: jax.Array,  # [3,3] replicated
+    quats_wxyz: jax.Array,  # [F,4] replicated
+    translations: jax.Array,  # [F,3]
+    points: jax.Array,  # [F, H*W, 3]
+    normals: jax.Array,
+    colors: jax.Array,
+    valid: jax.Array,  # [F, H*W] bool
+    *,
+    height: int,
+    width: int,
+    radius: float,
+    min_cosine: float,
+    max_depth: float,
+    capacity: int,  # PER-DEVICE slot capacity (total = ndev * capacity)
+    candidate_px: int = 1,
+    window: int | None = None,
+    region_factor: float = 8.0,
+    axis: str = "dp",
+) -> Tuple[FusionState, jax.Array]:
+    """Fuse a session with the sparse BUFFER sharded spatially over `axis`.
+
+    Returns (compacted FusionState of total capacity ndev*capacity, uv2pt
+    [F, H*W] int32 into the compacted cloud). Unlike fuse_session_sharded
+    (frame-sharded, post-hoc voxel reconciliation), every frame here merges
+    against the WHOLE distributed buffer — the scan semantics match the
+    single-chip engine up to candidate tie-breaks at equal quantized depth,
+    and no statistical reconciliation step exists.
+    """
+    ndev = mesh.shape[axis]
+    F = quats_wxyz.shape[0]
+    half = candidate_px
+    gh = -(-height // half)
+    gw = -(-width // half)
+    ncells = gh * gw
+    W = capacity if (window is None or window >= capacity) else int(window)
+    bits = max(1, (ndev * W).bit_length())
+    zbits = 31 - bits
+    assert zbits >= 6, (
+        f"ndev*window = {ndev * W} needs {bits} id bits, leaving {zbits} "
+        "depth bits (< 6); lower `window` or per-device `capacity`"
+    )
+    region = float(region_factor) * float(radius)
+    idmask = (1 << bits) - 1
+
+    def _append_owned(state, sp, rank):
+        """Append the sparsify cells THIS device owns; return (state,
+        cell2slot [C] GLOBAL slot ids via one psum)."""
+        owner = _owner_hash(sp.points, region, ndev)
+        owned = (owner == rank) & (sp.counts > 0)
+        sp_m = sp._replace(counts=jnp.where(owned, sp.counts, 0))
+        state, c2s_local = _append_sparsified(state, sp_m, capacity)
+        gslot = jnp.where(c2s_local >= 0, rank * capacity + c2s_local, -1)
+        c2s_global = jax.lax.psum(
+            jnp.where(gslot >= 0, gslot + 1, 0), axis
+        ) - 1
+        return state, c2s_global
+
+    def chunk(K_l, quats, trans, fps, fns, fcs, fvs):
+        rank = jax.lax.axis_index(axis)
+
+        state = _empty_state(capacity)
+        sp0 = sparsify.patch_sparsify(
+            fps[0], fns[0], fcs[0], fvs[0], height, width, radius, min_cosine
+        )
+        state, c2s = _append_owned(state, sp0, rank)
+        uv0 = jnp.where(
+            sp0.cell_of_pixel >= 0,
+            c2s[jnp.clip(sp0.cell_of_pixel, 0, sp0.num_cells - 1)],
+            -1,
+        ).astype(jnp.int32)
+
+        def step(state, frame):
+            q, t, fp, fn, fc, fv = frame
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+            active = slot_ids < state.n
+
+            # 1-2. cull + project MY slots
+            plane_pts, plane_ns = camera.frustum_world_planes(
+                K_l, width, height, q, t, max_depth
+            )
+            inter = intersections.points_inside_polyhedra(
+                state.points, plane_pts, plane_ns
+            ) & active
+            u, v, z = camera.project_points(state.points, K_l, q, t)
+            ok = inter & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+
+            if W < capacity:
+                vis = jnp.where(ok, slot_ids, capacity)
+                minv = jnp.min(vis)
+                maxv = jnp.max(jnp.where(ok, slot_ids, -1))
+                w0 = jnp.clip(jnp.maximum(minv, maxv - W + 1), 0, capacity - W)
+                pts_w = jax.lax.dynamic_slice(state.points, (w0, 0), (W, 3))
+                nrm_w = jax.lax.dynamic_slice(state.normals, (w0, 0), (W, 3))
+                u_w = jax.lax.dynamic_slice(u, (w0,), (W,))
+                v_w = jax.lax.dynamic_slice(v, (w0,), (W,))
+                z_w = jax.lax.dynamic_slice(z, (w0,), (W,))
+                ok_w = jax.lax.dynamic_slice(ok, (w0,), (W,))
+            else:
+                w0 = jnp.int32(0)
+                pts_w, nrm_w = state.points, state.normals
+                u_w, v_w, z_w, ok_w = u, v, z, ok
+
+            # 3a. per-device packed z-buffer into the cell grid, then ONE
+            # pmin for the global nearest candidate, one more for the
+            # second (same dual-candidate spec as the single-chip step)
+            cell = jnp.where(ok_w, (v_w // half) * gw + (u_w // half), ncells)
+            lw = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
+            zq = jnp.clip(
+                z_w * ((1 << zbits) / max_depth), 0, (1 << zbits) - 1
+            ).astype(jnp.int32)
+            packed = jnp.where(ok_w, (zq << bits) | (rank * W + lw), INT32_MAX)
+            pmin1 = jax.ops.segment_min(packed, cell, num_segments=ncells + 1)[:ncells]
+            gmin1 = jax.lax.pmin(pmin1, axis)
+            cell_safe = jnp.clip(cell, 0, ncells - 1)
+            is_winner = ok_w & (packed == gmin1[cell_safe])
+            pmin2 = jax.ops.segment_min(
+                jnp.where(is_winner, INT32_MAX, packed), cell,
+                num_segments=ncells + 1,
+            )[:ncells]
+            gmin2 = jax.lax.pmin(pmin2, axis)
+
+            def extract(g):
+                has = g != INT32_MAX
+                return jnp.where(has, g & idmask, -1), has
+
+            wid1, has1 = extract(gmin1)
+            wid2, has2 = extract(gmin2)
+
+            # 3b. owners contribute their candidates' data; one psum builds
+            # the replicated [ncells, 2, 6] candidate grid
+            cdata_l = jnp.concatenate([pts_w, nrm_w], axis=1)  # [W, 6]
+
+            def contrib(wid, has):
+                mine = has & ((wid // W) == rank)
+                rows = cdata_l[jnp.clip(wid % W, 0, W - 1)]
+                return jnp.where(mine[:, None], rows, 0.0)
+
+            grid = jax.lax.psum(
+                jnp.stack([contrib(wid1, has1), contrib(wid2, has2)], axis=1),
+                axis,
+            ).reshape(gh, gw, 12)
+            slotg = jnp.stack([wid1, wid2], axis=1).reshape(gh, gw, 2)
+            match_wid, matched = _match_pixels(
+                grid, slotg, fp, fn, fv, height=height, width=width,
+                half=half, radius=radius, min_cosine=min_cosine,
+            )
+
+            # 4. merge MY matched pixels into my windowed slice (the same
+            # fused [P,10] row-scatter as the single-chip step)
+            mine = matched & ((match_wid // W) == rank)
+            mseg = jnp.where(mine, match_wid % W, W)
+            mw = mine.astype(jnp.float32)
+            acc = jax.ops.segment_sum(
+                jnp.concatenate(
+                    [mw[:, None], fp * mw[:, None], fc * mw[:, None],
+                     fn * mw[:, None]], axis=1,
+                ),
+                mseg, num_segments=W + 1,
+            )[:W]
+            cnt, spt, scl, snr = acc[:, 0], acc[:, 1:4], acc[:, 4:7], acc[:, 7:10]
+            if W < capacity:
+                clr_w = jax.lax.dynamic_slice(state.colors, (w0, 0), (W, 3))
+                nm_w = jax.lax.dynamic_slice(state.nmerges, (w0,), (W,))
+                occ_w = jax.lax.dynamic_slice(state.occurences, (w0,), (W,))
+            else:
+                clr_w, nm_w, occ_w = state.colors, state.nmerges, state.occurences
+            touched = cnt > 0
+            denom = (cnt + 1.0)[:, None]
+            new_pts = jnp.where(touched[:, None], (spt + pts_w) / denom, pts_w)
+            new_clr = jnp.where(touched[:, None], (scl + clr_w) / denom, clr_w)
+            nsum = snr + nrm_w
+            nnrm = nsum / jnp.maximum(
+                jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12
+            )
+            new_nrm = jnp.where(touched[:, None], nnrm, nrm_w)
+            new_nm = nm_w + cnt.astype(jnp.int32)
+            new_occ = occ_w + touched.astype(jnp.int32)
+            if W < capacity:
+                state = FusionState(
+                    jax.lax.dynamic_update_slice(state.points, new_pts, (w0, 0)),
+                    jax.lax.dynamic_update_slice(state.normals, new_nrm, (w0, 0)),
+                    jax.lax.dynamic_update_slice(state.colors, new_clr, (w0, 0)),
+                    jax.lax.dynamic_update_slice(state.nmerges, new_nm, (w0,)),
+                    jax.lax.dynamic_update_slice(state.occurences, new_occ, (w0,)),
+                    state.n,
+                )
+            else:
+                state = FusionState(
+                    new_pts, new_nrm, new_clr, new_nm, new_occ, state.n
+                )
+
+            # 5. leftovers: replicated sparsify, zero-communication owned
+            # append (+ one psum to assemble the global cell2slot map)
+            leftover = fv & jnp.logical_not(matched)
+            sp = sparsify.patch_sparsify(
+                fp, fn, fc, leftover, height, width, radius, min_cosine
+            )
+            state, c2s = _append_owned(state, sp, rank)
+
+            # uv2pt: windowed-global candidate id -> true global slot
+            # (needs every device's window base; one tiny psum)
+            w0_vec = jax.lax.psum(
+                jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (ndev, 1), 0)[:, 0]
+                    == rank,
+                    w0, 0,
+                ),
+                axis,
+            )
+            r_of = jnp.clip(match_wid // W, 0, ndev - 1)
+            slot_global = r_of * capacity + w0_vec[r_of] + match_wid % W
+            uv2pt = jnp.where(matched, slot_global, -1)
+            lp = sp.cell_of_pixel
+            uv2pt = jnp.where(
+                jnp.logical_not(matched) & (lp >= 0),
+                c2s[jnp.clip(lp, 0, sp.num_cells - 1)],
+                uv2pt,
+            ).astype(jnp.int32)
+            return state, uv2pt
+
+        state, uv_rest = jax.lax.scan(
+            step, state,
+            (quats[1:], trans[1:], fps[1:], fns[1:], fcs[1:], fvs[1:]),
+        )
+        uv2pt = jnp.concatenate([uv0[None], uv_rest], axis=0)
+        n_arr = jnp.full((1,), state.n, jnp.int32)
+        return (state.points, state.normals, state.colors, state.nmerges,
+                state.occurences, n_arr, uv2pt)
+
+    out = shard_map(
+        chunk,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )(Ks, quats_wxyz, translations, points, normals, colors, valid)
+    bpts, bnrm, bclr, bnm, bocc, n_per, uv2pt = out
+
+    # exact compaction (no reconciliation needed — regions were merged
+    # during the scan): drop the per-shard dead tails and remap uv2pt
+    total_cap = ndev * capacity
+    live = (
+        jax.lax.broadcasted_iota(jnp.int32, (ndev, capacity), 1)
+        < n_per.reshape(ndev, 1)
+    ).reshape(total_cap)
+    dest = jnp.cumsum(live.astype(jnp.int32)) - 1
+    total = jnp.sum(live.astype(jnp.int32))
+    safe_dest = jnp.where(live, dest, total_cap)
+
+    def take(xs):
+        out = jnp.zeros_like(xs)
+        return out.at[safe_dest].set(xs, mode="drop")
+
+    merged = FusionState(
+        take(bpts), take(bnrm), take(bclr), take(bnm), take(bocc), total
+    )
+    remap = jnp.where(live, dest, -1).astype(jnp.int32)
+    uv2pt = jnp.where(
+        uv2pt >= 0, remap[jnp.clip(uv2pt, 0, total_cap - 1)], -1
+    )
     return merged, uv2pt

@@ -37,9 +37,9 @@ class TestDeterminism:
             jnp.asarray(sd.Ks, jnp.float32), jnp.asarray(sd.quats_wxyz),
             jnp.asarray(sd.translations), jnp.asarray(sd.points),
             jnp.asarray(sd.normals), jnp.asarray(sd.colors),
-            jnp.asarray(sd.depth), jnp.asarray(valid),
+            jnp.asarray(valid),
         )
-        kw = dict(height=h, width=w, stride=6, radius=0.08,
+        kw = dict(height=h, width=w, radius=0.08,
                   min_cosine=0.94, max_depth=8.0, capacity=1 << 14)
         s1, uv1 = F.fuse_session(*args, **kw)
         s2, uv2 = F.fuse_session(*args, **kw)

@@ -21,11 +21,11 @@ def _session_arrays(seed, F=6, hw=(48, 36)):
     valid = (sd.depth > 0.1) & (sd.depth <= 8.0)
     return (
         sd.Ks.astype(np.float32), sd.quats_wxyz, sd.translations,
-        sd.points, sd.normals, sd.colors, sd.depth, valid,
+        sd.points, sd.normals, sd.colors, valid,
     )
 
 
-KW = dict(height=48, width=36, stride=6, radius=0.1,
+KW = dict(height=48, width=36, radius=0.1,
           min_cosine=0.9, max_depth=8.0, capacity=1 << 13)
 
 
@@ -61,17 +61,16 @@ class TestMultiSession:
         from fusion3dseg_tpu.fusion import fuse_session_checkpointed
 
         args = _session_arrays(4, F=9)
-        ckw = {k: v for k, v in KW.items() if k != "stride"}
         # one-shot reference
         state_ref, uv_ref = fuse_session(*(jnp.asarray(x) for x in args), **KW)
         # interrupted run: seed + 2 chunks of 3 frames, then stop
         st_half, uv_half = fuse_session_checkpointed(
-            *args, chunk_frames=3, ckpt_dir=tmp_path, max_chunks=2, **ckw
+            *args, chunk_frames=3, ckpt_dir=tmp_path, max_chunks=2, **KW
         )
         assert uv_half.shape[0] == 7  # seed + 2*3 frames fused so far
         # resume in a FRESH call (simulates a new process)
         st, uv = fuse_session_checkpointed(
-            *args, chunk_frames=3, ckpt_dir=tmp_path, **ckw
+            *args, chunk_frames=3, ckpt_dir=tmp_path, **KW
         )
         np.testing.assert_array_equal(uv, np.asarray(uv_ref))
         assert int(st.n) == int(state_ref.n)
@@ -91,16 +90,15 @@ class TestMultiSession:
         from fusion3dseg_tpu.fusion.fusion import save_state, _empty_state
 
         args = _session_arrays(4, F=9)
-        ckw = {k: v for k, v in KW.items() if k != "stride"}
         state_ref, uv_ref = fuse_session(*(jnp.asarray(x) for x in args), **KW)
         fuse_session_checkpointed(
-            *args, chunk_frames=3, ckpt_dir=tmp_path, max_chunks=1, **ckw
+            *args, chunk_frames=3, ckpt_dir=tmp_path, max_chunks=1, **KW
         )
         # simulate the torn commit: an orphan state dir from a crashed
         # chunk (bogus contents), marker still naming the committed one
         save_state(_empty_state(KW["capacity"]), tmp_path / "state_0009999")
         st, uv = fuse_session_checkpointed(
-            *args, chunk_frames=3, ckpt_dir=tmp_path, **ckw
+            *args, chunk_frames=3, ckpt_dir=tmp_path, **KW
         )
         np.testing.assert_array_equal(uv, np.asarray(uv_ref))
         np.testing.assert_array_equal(
@@ -149,15 +147,69 @@ class TestMultiSession:
         from fusion3dseg_tpu.fusion import fuse_session_checkpointed
 
         args = _session_arrays(5, F=6)
-        ckw = {k: v for k, v in KW.items() if k != "stride"}
         fuse_session_checkpointed(
-            *args, chunk_frames=4, ckpt_dir=tmp_path, max_chunks=1, **ckw
+            *args, chunk_frames=4, ckpt_dir=tmp_path, max_chunks=1, **KW
         )
         other = _session_arrays(5, F=8)
         with pytest.raises(ValueError, match="different session"):
             fuse_session_checkpointed(
-                *other, chunk_frames=4, ckpt_dir=tmp_path, **ckw
+                *other, chunk_frames=4, ckpt_dir=tmp_path, **KW
             )
+
+    def test_midscan_checkpoint_parameter_mismatch(self, tmp_path):
+        """Resuming under ANY changed fusion parameter must be rejected —
+        silently continuing from state fused under the old radius/window
+        would break bit-exactness (review finding r2)."""
+        from fusion3dseg_tpu.fusion import fuse_session_checkpointed
+
+        args = _session_arrays(5, F=6)
+        fuse_session_checkpointed(
+            *args, chunk_frames=4, ckpt_dir=tmp_path, max_chunks=1, **KW
+        )
+        for change in (dict(radius=0.2), dict(min_cosine=0.5),
+                       dict(max_depth=4.0)):
+            with pytest.raises(ValueError, match="parameterization"):
+                fuse_session_checkpointed(
+                    *args, chunk_frames=4, ckpt_dir=tmp_path,
+                    **dict(KW, **change),
+                )
+        with pytest.raises(ValueError, match="parameterization"):
+            fuse_session_checkpointed(
+                *args, chunk_frames=4, ckpt_dir=tmp_path, window=512, **KW
+            )
+
+    def test_auto_window_heuristic(self):
+        from fusion3dseg_tpu.fusion import auto_window
+
+        # small capacity: full merge already fast, no window
+        assert auto_window(12000, 1 << 17) is None
+        # 1M capacity at benchmark-like seed density -> the hand-tuned 2^17
+        assert auto_window(13000, 1 << 20) == 1 << 17
+        # estimate at/above capacity degenerates to unwindowed
+        assert auto_window(200000, 1 << 20) is None
+        # floor
+        assert auto_window(1, 1 << 19) == 1 << 13
+
+    def test_fusion_driver_auto_window(self):
+        """Fusion(capacity=big) picks a window automatically (VERDICT r2
+        #5) and the result stays consistent with an explicit window."""
+        from fusion3dseg_tpu.fusion import Fusion
+
+        sess = synthetic.make_session(nframes=6, depth_hw=(48, 36))
+        sd = rtab.SessionData.from_arrays(
+            sess.colors, sess.depth, sess.K,
+            sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+        )
+        f_auto = Fusion(sd, point_range=(0.1, 8.0), capacity=1 << 19)
+        pts_a, *_ = f_auto.fuse(radius=0.1, angle=20, max_depth=8.0)
+        # the auto path must produce a valid cloud and pick SOME window
+        # decision without error (tiny session -> estimate is small)
+        assert len(pts_a) > 0
+        f_none = Fusion(sd, point_range=(0.1, 8.0), capacity=1 << 19,
+                        window=None)
+        pts_n, *_ = f_none.fuse(radius=0.1, angle=20, max_depth=8.0)
+        # windowed merge may re-append a few slots but stays close
+        assert 0.9 * len(pts_n) <= len(pts_a) <= 1.5 * len(pts_n)
 
 
 class TestSegmentImageE2E:

@@ -179,6 +179,125 @@ class TestNative:
         assert sizes == [30, 30]
 
 
+class TestSpatialShardedFusion:
+    def _session(self, F=16, h=48, w=36):
+        from fusion3dseg_tpu.io import rtab, synthetic
+
+        sess = synthetic.make_session(nframes=F, depth_hw=(h, w))
+        sd = rtab.SessionData.from_arrays(
+            sess.colors, sess.depth, sess.K,
+            sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+        )
+        valid = (sd.depth > 0.1) & (sd.depth <= 8.0)
+        args = (
+            jnp.asarray(sd.Ks, jnp.float32), jnp.asarray(sd.quats_wxyz),
+            jnp.asarray(sd.translations), jnp.asarray(sd.points),
+            jnp.asarray(sd.normals), jnp.asarray(sd.colors),
+            jnp.asarray(valid),
+        )
+        return sess, args
+
+    def test_spatial_sharded_matches_sequential(self):
+        """Buffer-sharded engine vs the single-device scan: same scan
+        semantics (no reconciliation), so the bars are TIGHTER than the
+        frame-sharded decomposition's — near-equal point counts and >= 0.9
+        per-pixel label agreement through the uv2pt artifacts."""
+        from fusion3dseg_tpu.fusion import fusion as fusion_engine
+        from fusion3dseg_tpu.parallel.fusion import fuse_session_spatial_sharded
+
+        mesh = sharding.make_mesh(8, tp=1)
+        F, h, w = 16, 48, 36
+        sess, args = self._session(F, h, w)
+        radius, cone = 0.08, float(np.cos(np.deg2rad(20.0)))
+        total_cap = 1 << 15  # unsaturated: the session fuses to ~13k points
+        kw = dict(height=h, width=w, radius=radius, min_cosine=cone,
+                  max_depth=8.0)
+        state1, uv1 = fusion_engine.fuse_session(
+            *args, capacity=total_cap, **kw
+        )
+        stateS, uvS = fuse_session_spatial_sharded(
+            mesh, *args, capacity=total_cap // 8, **kw
+        )
+        n1, nS = int(state1.n), int(stateS.n)
+        # identical scan semantics -> near-identical size (measured: exactly
+        # equal on this session; allow tie-break slack)
+        assert nS > 0 and 0.95 * n1 <= nS <= 1.05 * n1, (n1, nS)
+
+        # uv2pt artifact contract on the compacted cloud
+        uvS_np = np.asarray(uvS)
+        assert uvS_np.dtype == np.int32 and uvS_np.shape == (F, h * w)
+        assert uvS_np.max() < nS and uvS_np.min() >= -1
+
+        # coverage both ways (no region may be dropped or duplicated badly)
+        p1 = np.asarray(state1.points[:n1])
+        pS = np.asarray(stateS.points[:nS])
+        d2 = ((p1[:, None, :] - pS[None, :, :]) ** 2).sum(-1)
+        assert np.percentile(np.sqrt(d2.min(axis=1)), 99) < 2 * np.sqrt(3) * radius
+        assert np.percentile(np.sqrt(d2.min(axis=0)), 99) < 2 * np.sqrt(3) * radius
+
+        # label agreement through voting (the semantic bar)
+        masks = sess.gt_mask.reshape(F, -1)
+        _, c1 = voting_ops.vote_and_classify(
+            jnp.asarray(np.asarray(uv1)), jnp.asarray(masks), npts=n1,
+            nclasses=133, threshold=0.5, dedup=True,
+        )
+        _, cS = voting_ops.vote_and_classify(
+            jnp.asarray(uvS_np), jnp.asarray(masks), npts=nS,
+            nclasses=133, threshold=0.5, dedup=True,
+        )
+        c1, cS = np.asarray(c1), np.asarray(cS)
+        uv1_np = np.asarray(uv1)
+        img1 = np.where(uv1_np >= 0, c1[np.clip(uv1_np, 0, n1 - 1)], -1)
+        imgS = np.where(uvS_np >= 0, cS[np.clip(uvS_np, 0, nS - 1)], -1)
+        both = (img1 >= 0) & (imgS >= 0)
+        assert both.mean() > 0.5, both.mean()
+        agree = (img1[both] == imgS[both]).mean()
+        assert agree > 0.9, agree
+
+    def test_spatial_sharded_windowed(self):
+        """Per-shard windowing on the sharded buffer: a window below the
+        per-device capacity still produces a valid, well-covered cloud."""
+        from fusion3dseg_tpu.parallel.fusion import fuse_session_spatial_sharded
+
+        mesh = sharding.make_mesh(8, tp=1)
+        F, h, w = 8, 48, 36
+        sess, args = self._session(F, h, w)
+        kw = dict(height=h, width=w, radius=0.08,
+                  min_cosine=float(np.cos(np.deg2rad(20.0))), max_depth=8.0)
+        stateW, uvW = fuse_session_spatial_sharded(
+            mesh, *args, capacity=1 << 10, window=1 << 8, **kw
+        )
+        stateF, _ = fuse_session_spatial_sharded(
+            mesh, *args, capacity=1 << 10, **kw
+        )
+        nW, nF = int(stateW.n), int(stateF.n)
+        # missed merges re-append: never fewer points than the full merge
+        assert nW >= nF > 0
+        uv = np.asarray(uvW)
+        assert uv.max() < nW and uv.min() >= -1
+
+    def test_spatial_sharded_capacity_scales(self):
+        """The whole point of the buffer shard: per-device capacity far
+        below the cloud size still fuses the full scene (total = D x cap),
+        where a single device at that capacity would saturate."""
+        from fusion3dseg_tpu.fusion import fusion as fusion_engine
+        from fusion3dseg_tpu.parallel.fusion import fuse_session_spatial_sharded
+
+        mesh = sharding.make_mesh(8, tp=1)
+        F, h, w = 8, 48, 36
+        sess, args = self._session(F, h, w)
+        kw = dict(height=h, width=w, radius=0.08,
+                  min_cosine=float(np.cos(np.deg2rad(20.0))), max_depth=8.0)
+        state1, _ = fusion_engine.fuse_session(*args, capacity=1 << 15, **kw)
+        need = int(state1.n)
+        per_dev = 1 << 11  # 8 devices x 2048 = 16384 total slots
+        assert per_dev < need  # one device's shard alone cannot hold it
+        stateS, _ = fuse_session_spatial_sharded(
+            mesh, *args, capacity=per_dev, **kw
+        )
+        assert int(stateS.n) > 0.9 * need
+
+
 class TestShardedFusion:
     def test_sharded_fusion_engine_matches_sequential(self):
         """Frame-chunk-sharded fusion (parallel/fusion.py) vs the
@@ -206,8 +325,7 @@ class TestShardedFusion:
         kw = dict(height=h, width=w, radius=radius, min_cosine=cone,
                   max_depth=8.0, capacity=1 << 13)
         state1, uv1 = fusion_engine.fuse_session(
-            *args[:6], jnp.asarray(sd.depth), jnp.asarray(valid),
-            stride=10, **kw,
+            *args[:6], jnp.asarray(valid), **kw,
         )
         stateS, uvS = fuse_session_sharded(
             mesh, *args, jnp.asarray(valid), **kw,
