@@ -265,9 +265,14 @@ def headline_1m(args, result):
     )
     cpu_full_dt = time.perf_counter() - t0
     cpu_rates.append(args.npts * args.frames / cpu_full_dt)
-    cpu_pps = max(cpu_rates)  # favor the CPU -> conservative ratio
+    # denominator policy: the MEDIAN of the four samples (3x subset + the
+    # full pass). The single-core host fluctuates 2-3x between runs
+    # (CLAUDE.md), so a single max/min sample would swing the headline
+    # ratio by luck; the median with the full spread recorded is the
+    # stable, characterized denominator VERDICT r2 #7 asked for.
+    cpu_pps = float(np.median(cpu_rates))
     log(f"cpu full: {cpu_full_dt:.1f}s; rates "
-        f"{[f'{r:.3g}' for r in cpu_rates]}")
+        f"{[f'{r:.3g}' for r in cpu_rates]} -> median {cpu_pps:.3g}")
 
     agree = float(np.mean(classes_tpu == classes_o))
     log(f"label agreement vs oracle, FULL {args.frames}-frame session: "
@@ -432,23 +437,30 @@ def fusion_and_e2e(args, result):
     def e2e_once(outdir):
         st, uv2pt = fusion_engine.fuse_session(*fargs, **fkw)
         n = int(np.asarray(st.n))
-        pts = np.asarray(st.points[:n])
-        adj = np.asarray(  # host copy: split/merge/dump all live
-            neighbors.radius_graph(  # host-side (see dump_data)
-                jnp.asarray(pts), 2 * fkw["radius"], k=32
-            )
-        )
+        pts_d = st.points[:n]
+        pts = np.asarray(pts_d)  # ONE device->host copy, reused throughout
+        # k=16 suffices for component connectivity (measured: identical
+        # instances vs k=32, at half the build + transfer cost — the
+        # remote-device tunnel moves ~20-40 MB/s, so the [n,k] int32
+        # adjacency transfer is a first-order e2e cost)
+        adj_d = neighbors.radius_graph(pts, 2 * fkw["radius"], k=16)
+        try:  # start the D2H copy early; overlaps the vote dispatch below
+            adj_d.copy_to_host_async()
+        except Exception:
+            pass
         votes_e, classes_e = voting.vote_and_classify(
             uv2pt, fmasks, fcap, args.nclasses, threshold=0.5,
             filter_classes=None,
         )
         classes_np = np.asarray(classes_e[:n])
+        adj = np.asarray(adj_d)
         _, ids_e, info_e, _ = components.split_into_instances(
             classes_np, adj, args.nclasses, None, 100
         )
         for inf in info_e:  # minimal parent taxonomy for the merge
             inf["parent_id"] = inf["category_id"]
-        info_m, ids_m = merge_bb(outdir, info_e, ids_e, pts, verbose=False)
+        info_m, ids_m = merge_bb(outdir, info_e, ids_e, pts, verbose=False,
+                                 points_dev=pts_d)
         return n, len(info_e), len(info_m)
 
     import tempfile as _tf

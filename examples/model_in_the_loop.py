@@ -41,6 +41,8 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

@@ -31,10 +31,13 @@ def main(argv=None):
     s = sub.add_parser("seg2d", help="2D semantic segmentation of RGB frames")
     s.add_argument("input_dir")
     s.add_argument("output_dir")
-    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b0")
+    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b1")
     s.add_argument("--extension", default="jpg")
     s.add_argument("--conf-threshold", type=float, default=0.017)
-    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir or .npz snapshot; defaults to the "
+                        "in-repo shipped snapshot for the chosen model "
+                        "when one exists (pass 'random' to skip)")
     s.add_argument("--batch-size", type=int, default=8)
 
     s = sub.add_parser("ingest", help="load an rtabmap-export dir; optionally write the pickle cache")
@@ -142,17 +145,29 @@ def main(argv=None):
     s.add_argument("output_dir")
     s.add_argument("--mask-dir", default=None, help="use existing masks instead of running seg2d")
     s.add_argument("--radius", type=float, default=0.05)
-    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b1")
+    s.add_argument("--checkpoint", default=None,
+                   help="seg2d weights; defaults to the shipped snapshot "
+                        "for --model when one exists")
 
     args = p.parse_args(argv)
 
     if args.cmd == "seg2d":
         from fusion3dseg_tpu.models import SegFormerConfig
-        from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D
+        from fusion3dseg_tpu.pipeline.get2dseg import (
+            SegmentImage, Segmenter2D, shipped_checkpoint,
+        )
 
+        ckpt = args.checkpoint
+        if ckpt is None:
+            ckpt = shipped_checkpoint(args.model)
+            if ckpt is not None:
+                print(f"using shipped weights {ckpt}")
+        elif ckpt == "random":
+            ckpt = None
         seg = Segmenter2D(
             config=SegFormerConfig.named(args.model),
-            checkpoint_dir=args.checkpoint, batch_size=args.batch_size,
+            checkpoint_dir=ckpt, batch_size=args.batch_size,
         )
         SegmentImage(
             args.input_dir, args.output_dir, extension=args.extension,
@@ -303,15 +318,27 @@ def main(argv=None):
     elif args.cmd == "all":
         from pathlib import Path
 
-        from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import (
+            SegmentImage, Segmenter2D, shipped_checkpoint,
+        )
         from fusion3dseg_tpu.pipeline.get3dseg import segment
         from fusion3dseg_tpu.pipeline.process3d import process3DSeg
 
         mask_dir = args.mask_dir
         if mask_dir is None:
             mask_dir = str(Path(args.output_dir) / "masks")
+            ckpt = args.checkpoint or shipped_checkpoint(args.model)
+            seg2d = None
+            if ckpt is not None:
+                print(f"seg2d weights: {ckpt}")
+                seg2d = Segmenter2D(
+                    config=SegFormerConfig.named(args.model),
+                    checkpoint_dir=ckpt,
+                )
             SegmentImage(
-                str(Path(args.export_dir) / "rgb"), mask_dir, verbose=True,
+                str(Path(args.export_dir) / "rgb"), mask_dir,
+                segmenter=seg2d, verbose=True,
             )
         process3DSeg(args.export_dir, args.output_dir, radius=args.radius, verbose=True)
         segment(args.output_dir, mask_dir, verbose=True)

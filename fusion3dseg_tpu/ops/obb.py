@@ -97,6 +97,18 @@ def obb_corners(centers: jax.Array, axes: jax.Array, half: jax.Array) -> jax.Arr
     return centers[:, None, :] + offs
 
 
+@partial(jax.jit, static_argnames=("num_instances",))
+def instance_obb_corners(
+    points: jax.Array, ids: jax.Array, num_instances: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused boxes + corners in ONE device program: standalone calls carry
+    30-90 ms dispatch latency through the remote-device tunnel, so the
+    pipeline call sites (master_classes, merge_bb) take (corners [K,8,3],
+    counts [K]) from a single dispatch instead of two."""
+    centers, axes, half, cnt = instance_obbs(points, ids, num_instances)
+    return obb_corners(centers, axes, half), cnt
+
+
 def points_inside_obbs(
     points: jax.Array,
     centers: jax.Array,

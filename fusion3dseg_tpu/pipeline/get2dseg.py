@@ -59,7 +59,10 @@ class Segmenter2D:
             self.model = SegFormer(config)
             cpath = Path(checkpoint_dir)
             if cpath.is_file() and cpath.suffix == ".npz":
-                self.params = load_params_npz(cpath)
+                # device_put once: numpy leaves would re-transfer the whole
+                # tree on EVERY inference dispatch (measured 7.9 img/s vs
+                # >100 through the remote-device tunnel)
+                self.params = jax.tree.map(jnp.asarray, load_params_npz(cpath))
             else:
                 shapes = nn.meta.unbox(
                     jax.eval_shape(

@@ -326,11 +326,10 @@ def master_classes(dirname, taxonomy: Optional[tax.Taxonomy] = None, verbose: bo
     # open3d loop, get3DSeg.py:424-448)
     num_inst = int(ids.max()) + 1 if len(ids) else 0
     with timing.span("master_classes.obbs", verbose=verbose):
-        centers, axes, half, counts = obb_ops.instance_obbs(
+        corners, counts = obb_ops.instance_obb_corners(
             jnp.asarray(points, jnp.float32), jnp.asarray(ids, jnp.int32), num_inst
         )
-        corners = np.asarray(obb_ops.obb_corners(centers, axes, half))
-        counts = np.asarray(counts)
+        corners, counts = np.asarray(corners), np.asarray(counts)
 
     final_info = []
     area_unclassified = 0

@@ -6,8 +6,10 @@ The reference's stage contract moves masks through PNG files on disk
 production path of BASELINE config 4 — "batched 2D segmentation inference
 streaming masks into device-resident projection": RGB frames are the only
 host input, and inference -> confidence thresholding -> nearest resize to
-depth resolution -> vote accumulation all run on device in one compiled
-step per batch. No mask PNGs, no host round trips between stages.
+depth resolution -> vote accumulation all run on device in ONE compiled
+step per batch (model forward included — an eager per-layer apply through
+the remote-device tunnel costs ~100 dispatches x 30-90 ms per batch). No
+mask PNGs, no host round trips between stages.
 """
 
 from __future__ import annotations
@@ -20,6 +22,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from fusion3dseg_tpu.ops import voting as voting_ops
+
+
+def _vote_logits(votes, logits, uv2pt, depth_hw, nclasses, conf_threshold):
+    """Threshold + resize + scan-vote a batch of logits (jit-free core)."""
+    hd, wd = depth_hw
+    b = logits.shape[0]
+    # argmax class + softmax-confidence -> unclassified rule
+    # (reference get2DSeg.py:111-118)
+    sem = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+    sem = jnp.where(conf < conf_threshold, nclasses, sem)
+    # nearest resize to depth resolution (reference voting.py:93)
+    sem = jax.image.resize(sem, (b, hd, wd), method="nearest")
+    masks = sem.reshape(b, hd * wd).astype(jnp.uint8)
+
+    def step(votes, fr):
+        uv, m = fr
+        return voting_ops.vote_frame(votes, uv, m, dedup=True), None
+
+    votes, _ = jax.lax.scan(step, votes, (uv2pt, masks))
+    return votes
 
 
 @partial(
@@ -35,23 +58,9 @@ def _vote_batch(
     nclasses: int,
     conf_threshold_static: float,
 ) -> jax.Array:
-    hd, wd = depth_hw
-    b = logits.shape[0]
-    # argmax class + softmax-confidence -> unclassified rule
-    # (reference get2DSeg.py:111-118)
-    sem = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
-    sem = jnp.where(conf < conf_threshold_static, nclasses, sem)
-    # nearest resize to depth resolution (reference voting.py:93)
-    sem = jax.image.resize(sem, (b, hd, wd), method="nearest")
-    masks = sem.reshape(b, hd * wd).astype(jnp.uint8)
-
-    def step(votes, fr):
-        uv, m = fr
-        return voting_ops.vote_frame(votes, uv, m, dedup=True), None
-
-    votes, _ = jax.lax.scan(step, votes, (uv2pt, masks))
-    return votes
+    """Jitted logits->votes step (for callers that already hold logits)."""
+    return _vote_logits(votes, logits, uv2pt, depth_hw, nclasses,
+                        conf_threshold_static)
 
 
 def stream_segment(
@@ -78,6 +87,22 @@ def stream_segment(
     F = session.nframes
     rgb = session.colors.reshape(F, hd, wd, 3)  # float [0,1] at depth res
 
+    # one compiled program per batch: model forward + confidence rule +
+    # resize + vote scan (cached on the segmenter across calls)
+    key = ((hd, wd), nclasses, float(conf_threshold), batch_size)
+    cache = segmenter.__dict__.setdefault("_stream_step_cache", {})
+    step_fn = cache.get(key)
+    if step_fn is None:
+        @partial(jax.jit, donate_argnums=(1,))
+        def step_fn(params, votes, imgs, uv):
+            logits = segmenter.model.apply({"params": params}, imgs)
+            return _vote_logits(
+                votes, logits, uv, (hd, wd), nclasses, conf_threshold
+            )
+
+        cache[key] = step_fn
+
+    params = jax.tree.map(jnp.asarray, segmenter.params)  # device-resident
     votes = jnp.zeros((npts, nclasses + 1), jnp.int32)
     uv2pt = np.asarray(uv2pt, np.int32)
 
@@ -91,12 +116,7 @@ def stream_segment(
         if pad:
             imgs = np.concatenate([imgs, np.zeros((pad, ih, iw, 3), np.float32)])
             uv = np.concatenate([uv, np.full((pad, hd * wd), -1, np.int32)])
-        logits = segmenter.model.apply(
-            {"params": segmenter.params}, jnp.asarray(imgs)
-        )
-        votes = _vote_batch(
-            votes, logits, jnp.asarray(uv), (hd, wd), nclasses, conf_threshold
-        )
+        votes = step_fn(params, votes, jnp.asarray(imgs), jnp.asarray(uv))
         if verbose:
             print(f"streamed {min(i + batch_size, F)}/{F} frames")
 

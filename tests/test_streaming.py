@@ -1,13 +1,12 @@
-"""Device-resident streaming path equals the mask-file path."""
+"""Device-resident streaming path (BASELINE config 4 production path)."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from fusion3dseg_tpu.io import rtab, synthetic
-from fusion3dseg_tpu.models.segformer import SegFormerConfig
-from fusion3dseg_tpu.pipeline import process3d, get3dseg, streaming
-from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage, Segmenter2D
+from fusion3dseg_tpu.models import SegFormerConfig
+from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+from fusion3dseg_tpu.pipeline.streaming import stream_segment
 
 TINY = SegFormerConfig(
     num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
@@ -15,46 +14,54 @@ TINY = SegFormerConfig(
 )
 
 
-class TestStreaming:
-    def test_matches_mask_file_path(self, tmp_path):
-        sess = synthetic.make_session(nframes=8, depth_hw=(48, 36))
-        out = tmp_path / "sess"
-        work = tmp_path / "work"
-        synthetic.write_session_dir(sess, out)
-        sd = rtab.SessionData.from_export_dir(out)
-        result = process3d.process3DSeg(
-            out, work, radius=0.1, stride=6, point_range=(0.1, 8.0),
-            capacity=1 << 14, session=sd,
+def _setup(F=5, hw=(48, 36)):
+    sess = synthetic.make_session(nframes=F, depth_hw=hw)
+    sd = rtab.SessionData.from_arrays(
+        sess.colors, sess.depth, sess.K,
+        sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+    )
+    rng = np.random.default_rng(0)
+    npts = 500
+    # per-frame INJECTIVE pixel->point maps (a real z-buffer uv2pt lets a
+    # point win at most one pixel per frame)
+    P = hw[0] * hw[1]
+    uv2pt = np.full((F, P), -1, np.int32)
+    for f in range(F):
+        pix = rng.choice(P, size=npts, replace=False)
+        uv2pt[f, pix] = rng.permutation(npts)
+    return sd, uv2pt, npts
+
+
+class TestStreamSegment:
+    def test_contract_and_determinism(self):
+        sd, uv2pt, npts = _setup()
+        seg = Segmenter2D(config=TINY, input_hw=(64, 64), batch_size=2)
+        votes, classes = stream_segment(
+            sd, seg, uv2pt, npts=npts, nclasses=133, batch_size=2,
+            conf_threshold=0.0,
         )
-        npts = len(result[0])
-
-        seg = Segmenter2D(config=TINY, input_hw=(64, 64))
-
-        # path A: masks written by SegmentImage, voted from files
-        SegmentImage(str(out / "rgb"), str(out / "model_masks"), segmenter=seg,
-                     conf_threshold=0.017)
-        votes_a = get3dseg.vote_session(
-            work, out / "model_masks", npts, (48, 36), 133
+        assert votes.shape == (npts, 134) and classes.shape == (npts,)
+        # dedup voting: at most one vote per (point, frame)
+        assert votes.sum(axis=1).max() <= sd.nframes
+        assert classes.max() <= 133
+        v2, c2 = stream_segment(
+            sd, seg, uv2pt, npts=npts, nclasses=133, batch_size=2,
+            conf_threshold=0.0,
         )
-        from fusion3dseg_tpu.ops import voting as vops
+        np.testing.assert_array_equal(votes, v2)
+        np.testing.assert_array_equal(classes, c2)
 
-        classes_a = np.asarray(vops.classify(jnp.asarray(votes_a), 0.5, 133, None))
-
-        # path B: streamed device-resident
-        files = sorted((work / "fusion" / "uv2pt").glob("*.npy"),
-                       key=lambda p: int(p.stem))
-        uv2pt = np.stack([np.load(f) for f in files])
-        votes_b, classes_b = streaming.stream_segment(
-            sd, seg, uv2pt, npts, nclasses=133, conf_threshold=0.017,
-            batch_size=4,
+    def test_confidence_rule_all_unclassified(self):
+        """conf_threshold > 1 -> every pixel votes class 133 (the
+        reference's get2DSeg.py:113-118 rule, applied on device)."""
+        sd, uv2pt, npts = _setup()
+        seg = Segmenter2D(config=TINY, input_hw=(64, 64), batch_size=2)
+        votes, classes = stream_segment(
+            sd, seg, uv2pt, npts=npts, nclasses=133, batch_size=2,
+            conf_threshold=1.1,
         )
-
-        # the two paths resize at different stages (A: model->frame res via
-        # predict_batch then mask->depth res; B: logits->depth res directly),
-        # so boundary pixels can differ; the vote outcome must still agree
-        # almost everywhere
-        agree = (classes_a == classes_b).mean()
-        assert agree > 0.9, agree
-        # and the streaming path produces a valid votes table
-        assert votes_b.shape == (npts, 134)
-        assert (votes_b.sum(1) > 0).mean() > 0.9
+        voted = votes.sum(axis=1) > 0
+        assert voted.any()
+        # only the unclassified column receives votes
+        assert votes[:, :133].sum() == 0
+        assert (classes[voted] == 133).all()
