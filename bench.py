@@ -429,31 +429,30 @@ def fusion_and_e2e(args, result):
     # classify -> instance split -> OBBs + bbox merge. One warmup pass
     # compiles every stage; the reported time is a full second pass
     # including all host<->device transfers and host steps.
-    from fusion3dseg_tpu.ops import components, neighbors, voting
+    from fusion3dseg_tpu.ops import components, voting
     from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
 
     fmasks = jnp.asarray(fsess.gt_mask.reshape(48, -1))
+
+    from fusion3dseg_tpu.io import native as io_native
 
     def e2e_once(outdir):
         st, uv2pt = fusion_engine.fuse_session(*fargs, **fkw)
         n = int(np.asarray(st.n))
         pts_d = st.points[:n]
         pts = np.asarray(pts_d)  # ONE device->host copy, reused throughout
+        # dispatch the vote program first (async), then build the adjacency
+        # on the HOST while the device votes: the native grid-hash build
+        # costs ~0.2 s on this core but removes both the 0.56 s device
+        # build and its 0.35 s [n,k] D2H through the ~20-40 MB/s tunnel.
         # k=16 suffices for component connectivity (measured: identical
-        # instances vs k=32, at half the build + transfer cost — the
-        # remote-device tunnel moves ~20-40 MB/s, so the [n,k] int32
-        # adjacency transfer is a first-order e2e cost)
-        adj_d = neighbors.radius_graph(pts, 2 * fkw["radius"], k=16)
-        try:  # start the D2H copy early; overlaps the vote dispatch below
-            adj_d.copy_to_host_async()
-        except Exception:
-            pass
+        # instances vs k=32).
         votes_e, classes_e = voting.vote_and_classify(
             uv2pt, fmasks, fcap, args.nclasses, threshold=0.5,
             filter_classes=None,
         )
+        adj = io_native.radius_graph(pts, 2 * fkw["radius"], k=16)
         classes_np = np.asarray(classes_e[:n])
-        adj = np.asarray(adj_d)
         _, ids_e, info_e, _ = components.split_into_instances(
             classes_np, adj, args.nclasses, None, 100
         )

@@ -830,19 +830,30 @@ class Fusion:
         adjacency_degree: int = 32,
     ):
         """Write fusion artifacts (+ radius adjacency at 2*ds_radius,
-        reference fusion.py:349-387)."""
-        from fusion3dseg_tpu.io import artifacts
+        reference fusion.py:349-387).
+
+        The adjacency prefers the native host CSR builder: it yields the
+        FULL (uncapped) neighbor lists — exactly the reference's adj.pkl
+        contract (tree.query_radius, fusion.py:374-377) — and avoids an
+        upload + device build + [N,k] download through the ~20-40 MB/s
+        tunnel. Falls back to the device k-capped graph when the native
+        library is unavailable."""
+        from fusion3dseg_tpu.io import artifacts, native
         from fusion3dseg_tpu.ops import neighbors
 
         adj = None
         if compute_adjacency and self.ds_radius is not None and len(points):
-            adj_fixed = np.asarray(
-                neighbors.radius_graph(
-                    jnp.asarray(points, jnp.float32), 2 * self.ds_radius,
-                    k=adjacency_degree,
+            pts_np = np.asarray(points, np.float32)
+            if native.available():
+                adj = native.radius_graph_lists(pts_np, 2 * self.ds_radius)
+            else:
+                adj_fixed = np.asarray(
+                    neighbors.radius_graph(
+                        jnp.asarray(pts_np), 2 * self.ds_radius,
+                        k=adjacency_degree,
+                    )
                 )
-            )
-            adj = neighbors.adjacency_to_lists(adj_fixed)
+                adj = neighbors.adjacency_to_lists(adj_fixed)
         h, w = self.session.depth_hw
         artifacts.dump_fusion_data(
             dirname, points, normals, colors, nmerges, occurences,

@@ -129,14 +129,14 @@ def points_inside_obbs(
 @partial(jax.jit, static_argnames=("num_instances",))
 def obb_intersection_matrix(
     points: jax.Array, ids: jax.Array, num_instances: int
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused: per-instance OBBs + the [K, K] co-membership intersection matrix.
 
     intersect[i, j] = True iff some cloud point lies inside both box i and
     box j (the reference's criterion, merge_intersecting_bb.py:88-90).
     Instances with < 4 points never intersect (reference :72-73 skips them).
 
-    Returns (intersect [K,K] bool, centers, axes, half_extents).
+    Returns (intersect [K,K] bool, centers, axes, half_extents, counts).
     """
     centers, axes, half, cnt = instance_obbs(points, ids, num_instances)
     inside = points_inside_obbs(points, centers, axes, half)  # [K, N]
@@ -144,7 +144,37 @@ def obb_intersection_matrix(
     co = insf @ insf.T  # MXU co-membership counts
     ok = cnt >= 4
     intersect = (co > 0) & ok[:, None] & ok[None, :]
-    return intersect, centers, axes, half
+    return intersect, centers, axes, half, cnt
+
+
+def pca_obb_np(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host NumPy PCA OBB over one instance's member points — the same math
+    as `instance_obbs` for a single id. Used by merge_bb to re-derive the
+    few boxes that changed after a merge WITHOUT a second device dispatch
+    (each standalone program call costs 30-90 ms through the tunnel; the
+    host recompute over <=N member points is sub-millisecond at K~10)."""
+    pts = np.asarray(pts, np.float64)
+    mean = pts.mean(axis=0)
+    c = pts - mean
+    cov = (c.T @ c) / len(pts)
+    _, vecs = np.linalg.eigh(cov + 1e-9 * np.eye(3))
+    axes = vecs.T  # rows = box axes
+    proj = c @ axes.T
+    pmax, pmin = proj.max(axis=0), proj.min(axis=0)
+    half = (pmax - pmin) / 2.0
+    center = mean + ((pmax + pmin) / 2.0) @ axes
+    return (center.astype(np.float32), axes.astype(np.float32),
+            half.astype(np.float32))
+
+
+def obb_corners_np(center: np.ndarray, axes: np.ndarray,
+                   half: np.ndarray) -> np.ndarray:
+    """Host counterpart of `obb_corners` for one box: [8, 3] corners."""
+    signs = np.asarray(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    )
+    return np.asarray(center)[None, :] + (signs * np.asarray(half)) @ np.asarray(axes)
 
 
 def merge_intersecting_instances(

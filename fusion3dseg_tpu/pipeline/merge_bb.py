@@ -59,10 +59,13 @@ def merge_bb(dir_name, info_sem: List[dict], id_info_per_point, pcd_points,
     lut[inst_ids] = np.arange(K, dtype=np.int32)
     dense = lut[ids]  # [N] dense instance index or -1
 
-    intersect, centers, axes, half = obb_ops.obb_intersection_matrix(
+    intersect, centers, axes, half, cnts = obb_ops.obb_intersection_matrix(
         pts_d, jnp.asarray(dense), K
     )
     intersect = np.asarray(intersect)
+    centers, axes, half, cnts = (
+        np.asarray(centers), np.asarray(axes), np.asarray(half), np.asarray(cnts)
+    )
 
     parents = np.asarray(
         [i.get("parent_id") if i.get("parent_id") is not None else -1 for i in info_sem]
@@ -75,28 +78,35 @@ def merge_bb(dir_name, info_sem: List[dict], id_info_per_point, pcd_points,
 
     # rewrite ids + accumulate areas into the root instances (:58-62)
     new_info = []
+    kept_orig = []  # original dense index of each kept instance
+    changed = set()  # roots that absorbed at least one instance
     for k, info in enumerate(info_sem):
         if root[k] == k:
             new_info.append(info)
+            kept_orig.append(k)
         else:
             r = int(root[k])
             info_sem[r]["area"] = int(info_sem[r]["area"]) + int(info["area"])
             ids[ids == inst_ids[k]] = inst_ids[r]
+            changed.add(r)
 
-    # re-derive merged OBBs (:122-128)
-    kept = np.asarray([int(i["id"]) for i in new_info])
-    lut2 = np.full(int(max(ids.max(), kept.max())) + 2, -1, np.int32)
-    lut2[kept] = np.arange(len(kept), dtype=np.int32)
-    dense2 = lut2[ids]
-    corners2, counts2 = obb_ops.instance_obb_corners(
-        pts_d, jnp.asarray(dense2), len(kept)
-    )
-    corners2, counts2 = np.asarray(corners2), np.asarray(counts2)
+    # re-derive OBBs (:122-128) on HOST: unmerged boxes are unchanged from
+    # the device program above; only roots that absorbed points get a fresh
+    # PCA box over their (small) member set — no second device dispatch.
     for k, info in enumerate(new_info):
         if k == 0:
             continue  # reference skips entry 0 (:122)
-        if counts2[k] > 4:
-            info["bbox"] = corners2[k].tolist()
+        ko = kept_orig[k]
+        if ko in changed:
+            members = points[ids == inst_ids[ko]]
+            if len(members) > 4:
+                info["bbox"] = obb_ops.obb_corners_np(
+                    *obb_ops.pca_obb_np(members)
+                ).tolist()
+        elif cnts[ko] > 4:
+            info["bbox"] = obb_ops.obb_corners_np(
+                centers[ko], axes[ko], half[ko]
+            ).tolist()
 
     dt = time.perf_counter() - t0
     if verbose:

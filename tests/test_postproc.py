@@ -205,3 +205,83 @@ class TestMeshUtils:
         offsets, tids = meshu.vertex_triangle_maps(tris, 4)
         assert list(tids[offsets[1]:offsets[2]]) in ([0, 1], [1, 0])
         assert offsets[4] == 6
+
+
+class TestMergeBBHostRederive:
+    """merge_bb re-derives post-merge OBBs on host (no second device
+    dispatch): unmerged instances keep the device program's box, merged
+    roots get a NumPy PCA box over the union of member points."""
+
+    def _scene(self, rng):
+        # inst 1 and 2 overlap (same parent) -> merge; inst 3 is far away
+        a = rng.uniform(0, 1, (400, 3))
+        b = rng.uniform(0.8, 1.8, (400, 3))       # overlaps a
+        c = rng.uniform(5, 6, (400, 3))
+        bg = rng.uniform(-2, -1, (50, 3))          # instance 0 (never merged)
+        pts = np.vstack([bg, a, b, c]).astype(np.float32)
+        ids = np.r_[
+            np.zeros(50, np.int32), np.full(400, 1, np.int32),
+            np.full(400, 2, np.int32), np.full(400, 3, np.int32),
+        ]
+        info = [
+            {"id": 0, "parent_id": -1, "area": 50},
+            {"id": 1, "parent_id": 7, "area": 400},
+            {"id": 2, "parent_id": 7, "area": 400},
+            {"id": 3, "parent_id": 7, "area": 400},
+        ]
+        return pts, ids, info
+
+    def test_merge_and_boxes(self, tmp_path, rng):
+        from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
+
+        pts, ids, info = self._scene(rng)
+        new_info, new_ids = merge_bb(tmp_path, info, ids, pts, verbose=False)
+        got_ids = sorted(int(i["id"]) for i in new_info)
+        assert got_ids == [0, 1, 3]                 # 2 merged into 1
+        assert not (new_ids == 2).any()
+        merged = next(i for i in new_info if i["id"] == 1)
+        assert merged["area"] == 800
+        # merged root's recomputed box must contain every member point
+        corners = np.asarray(merged["bbox"], np.float32)
+        assert corners.shape == (8, 3)
+        members = pts[new_ids == 1]
+        center = corners.mean(axis=0)
+        # reconstruct axes/half from the corner layout (sign enumeration)
+        from fusion3dseg_tpu.ops import obb as obb_ops
+
+        c2, ax2, hf2 = obb_ops.pca_obb_np(members)
+        local = (members - c2) @ ax2.T
+        assert np.all(np.abs(local) <= hf2 + 1e-4)
+        np.testing.assert_allclose(center, c2, atol=1e-3)
+        # unmerged instance keeps a valid box containing its members
+        far = next(i for i in new_info if i["id"] == 3)
+        fc = np.asarray(far["bbox"], np.float32)
+        assert fc.min() > 4.0 and fc.max() < 7.0
+
+    def test_host_adjacency_split_matches_device(self, rng):
+        """The e2e path builds adjacency on host (native grid hash) while
+        the device votes; instances must match a device-built graph."""
+        from fusion3dseg_tpu.io import native
+        from fusion3dseg_tpu.ops import components
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        # three clusters + noise, multiple classes
+        pts = np.vstack([
+            rng.uniform(0, 0.5, (500, 3)),
+            rng.uniform(2, 2.5, (500, 3)),
+            rng.uniform(4, 4.5, (300, 3)),
+        ]).astype(np.float32)
+        classes = np.r_[
+            np.zeros(500, np.int32), np.ones(500, np.int32),
+            np.full(300, 1, np.int32),
+        ]
+        r = 0.12
+        adj_host = native.radius_graph(pts, r, k=16)
+        adj_dev = np.asarray(neighbors.radius_graph(jnp.asarray(pts), r, k=16))
+        out_h = components.split_into_instances(classes, adj_host, 133, None, 10)
+        out_d = components.split_into_instances(classes, adj_dev, 133, None, 10)
+        np.testing.assert_array_equal(out_h[1], out_d[1])
+        assert out_h[2] == out_d[2]
