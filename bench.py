@@ -37,9 +37,11 @@ import numpy as np
 
 
 from fusion3dseg_tpu.ops.label_fuse import (  # noqa: E402
+    build_cell_index,
     build_view_index,
     plan_window_buckets,
     tpu_label_fuse,
+    tpu_label_fuse_cells,
     tpu_label_fuse_culled_big,
     tpu_label_fuse_culled_bucketed,
 )
@@ -180,38 +182,39 @@ def headline_1m(args, result):
 
         M = args.npts
     else:
+        # 3D frustum-culling cell index (ops/label_fuse.build_cell_index):
+        # each frame gathers only its visible KD cells (~0.14N candidates vs
+        # ~0.18N for the bucketed azimuth windows, true in-frustum ~0.12N) —
+        # the serialized z-buffer scatter is the cost floor, so candidate
+        # volume is the headline lever (docs/DESIGN.md)
         t0 = time.perf_counter()
-        order_ext, starts, M = build_view_index(
-            points, K, quats, trans, hw, round_to=32768
+        cells_table, cell_lists, counts = build_cell_index(
+            points, K, quats, trans, hw, cell_size=args.cell_size
         )
         index_build_s = time.perf_counter() - t0
-        log(f"view index: window M={M} ({M / args.npts:.2f} of N), "
-            f"built in {index_build_s:.2f}s")
-        points_ext = jnp.asarray(points[order_ext])
-        ids_ext = jnp.asarray(order_ext, jnp.int32)
-        starts_all = np.asarray(starts, np.int32)
-        dev_static = (points_ext, ids_ext, jnp.asarray(K, jnp.float32))
-        # window-size-bucketed scans: the scatter cost is linear in the
-        # static window length, so frames grouped into right-sized scans
-        # cut ~40% of the scatter volume vs one max-sized scan
-        counts = build_view_index.last_window_counts
-        perm, sizes, Ms = plan_window_buckets(counts, nbuckets=8, max_window=M)
-        log(f"window buckets: {list(zip(sizes, Ms))}")
-        run_bucketed = tpu_label_fuse_culled_bucketed(
-            args.npts, args.nclasses, hw, Ms, sizes
+        cs = cells_table.shape[1]
+        perm, sizes, Ks = plan_window_buckets(
+            counts, nbuckets=12, round_to=8, max_window=cell_lists.shape[1]
+        )
+        upd = sum(s * min(k, cell_lists.shape[1]) * cs
+                  for s, k in zip(sizes, Ks))
+        M = int(round(upd / args.frames))  # mean candidates/frame, reported
+        log(f"cell index: {len(cells_table)} cells of {cs}, mean candidate "
+            f"frac {M / args.npts:.3f}, built in {index_build_s:.2f}s")
+        log(f"cell buckets: {list(zip(sizes, Ks))}")
+        run_cells = tpu_label_fuse_cells(
+            args.npts, args.nclasses, hw, cs, Ks, sizes
         )
         # permute the frame axis on the host once (a device-side gather
         # of the [F, H*W] masks would cost ~ a frame's scatter)
-        perm_dev = (
-            jnp.asarray(starts_all[perm]), jnp.asarray(quats[perm]),
+        dev = (
+            jnp.asarray(cells_table), jnp.asarray(cell_lists[perm]),
+            jnp.asarray(K, jnp.float32), jnp.asarray(quats[perm]),
             jnp.asarray(trans[perm]), jnp.asarray(masks[perm]),
         )
 
         def run():
-            return run_bucketed(
-                dev_static[0], dev_static[1], perm_dev[0],
-                dev_static[2], perm_dev[1], perm_dev[2], perm_dev[3],
-            )
+            return run_cells(*dev)
 
     log("compiling 1M kernel ...")
     t0 = time.perf_counter()
@@ -580,6 +583,8 @@ def main():
     ap.add_argument("--tenm-frames", type=int, default=100)
     ap.add_argument("--no-view-index", action="store_true",
                     help="disable the view-coherent culling index")
+    ap.add_argument("--cell-size", type=int, default=128,
+                    help="KD-cell size for the frustum-culling cell index")
     ap.add_argument("--no-fusion-stat", action="store_true",
                     help="skip the secondary fusion-engine measurement")
     ap.add_argument("--no-e2e-stat", action="store_true",

@@ -97,6 +97,182 @@ def build_view_index(points, K, quats, trans, hw, nbuckets=512, subsample=16, pa
 
 
 
+def build_cell_index(points, K, quats, trans, hw, cell_size=256, margin=2e-3):
+    """Frustum-culling cell index: equal-count KD cells + per-frame visible
+    cell lists from a conservative AABB-vs-frustum test.
+
+    The azimuth window (build_view_index) over-covers ~50%: it culls only
+    horizontally, so each frame's contiguous slice averages ~0.18N while the
+    true in-frustum fraction is ~0.12N (measured on the bench workload).
+    This index culls in full 3D: points are split into 2^d equal-count cells
+    by recursive median cuts, each frame keeps the cells whose AABB passes
+    every frustum half-space (p-vertex test, planes dilated by `margin`
+    meters -> strictly conservative), and the kernel gathers candidate cells
+    as contiguous [cell_size, 4] blocks (xyz + bitcast int32 id) — a
+    leading-axis block gather measured ~0.2 ns/element vs the 7.3 ns/update
+    serialized scatter it avoids (docs/DESIGN.md).
+
+    Padding is EXACT, not masked: cells shorter than cell_size repeat their
+    first member, and frame lists pad with cell 0 — duplicate points are
+    no-ops under the min z-buffer (equal packed values) and the per-pixel
+    winner vote (`set`, not add), so the kernel needs no validity lanes.
+
+    Returns (cells_table [NC, cell_size, 4] f32, cell_lists [F, Kmax] int32,
+    counts [F] int32 — true per-frame visible-cell counts).
+    """
+    n = len(points)
+    h, w = hw
+    depth = max(0, int(np.floor(np.log2(max(n // cell_size, 1)))))
+    ncells = 1 << depth
+
+    order = np.arange(n)
+    segs = [(0, n)]
+    for _ in range(depth):
+        nxt = []
+        for a, b in segs:
+            idx = order[a:b]
+            P = points[idx]
+            ax = int(np.argmax(P.max(0) - P.min(0)))
+            m = (b - a) // 2
+            part = np.argpartition(P[:, ax], m)
+            order[a:b] = idx[part]
+            nxt += [(a, a + m), (a + m, b)]
+        segs = nxt
+    segs = np.asarray(segs)
+
+    ps = points[order]
+    cs = int((segs[:, 1] - segs[:, 0]).max())
+    cells_table = np.empty((ncells, cs, 4), np.float32)
+    lo = np.empty((ncells, 3)); hi = np.empty((ncells, 3))
+    for ci, (a, b) in enumerate(segs):
+        take = np.r_[np.arange(a, b), np.full(cs - (b - a), a)]
+        cells_table[ci, :, :3] = ps[take]
+        cells_table[ci, :, 3] = order[take].astype(np.int32).view(np.float32)
+        lo[ci] = ps[a:b].min(0); hi[ci] = ps[a:b].max(0)
+
+    # frustum planes in world space, same inequalities as the projection's
+    # bounds test (u=floor(x')>=0 <=> fx*x+cx*z>=0, u<w <=> fx*x+(cx-w)z<0,
+    # likewise v; plus z>0), dilated by `margin` meters
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    ncam = np.array([
+        [fx, 0, cx], [-fx, 0, w - cx], [0, fy, cy], [0, -fy, h - cy],
+        [0, 0, 1.0],
+    ])
+    F = len(quats)
+    counts = np.empty(F, np.int32)
+    lists = []
+    for f in range(F):
+        q = quats[f]
+        wq, x, y, zz = q[0], -q[1], -q[2], -q[3]  # conj: world->camera
+        R = np.array([
+            [1 - 2 * (y * y + zz * zz), 2 * (x * y - wq * zz), 2 * (x * zz + wq * y)],
+            [2 * (x * y + wq * zz), 1 - 2 * (x * x + zz * zz), 2 * (y * zz - wq * x)],
+            [2 * (x * zz - wq * y), 2 * (y * zz + wq * x), 1 - 2 * (x * x + y * y)],
+        ])
+        m = ncam @ R
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        d = -(m @ trans[f]) + margin
+        pv = np.where(m[:, None, :] > 0, hi[None], lo[None])  # [5, NC, 3]
+        s = np.einsum("pc,pkc->pk", m, pv) + d[:, None]
+        vis = np.nonzero((s >= 0).all(0))[0]
+        counts[f] = len(vis)
+        lists.append(vis)
+    Kmax = max(1, int(counts.max()))
+    cell_lists = np.zeros((F, Kmax), np.int32)  # pad with cell 0 (harmless)
+    for f, vis in enumerate(lists):
+        cell_lists[f, : len(vis)] = vis
+    build_cell_index.last_cell_size = cs  # diagnostic
+    return cells_table, cell_lists, counts
+
+
+def tpu_label_fuse_cells(
+    npts, nclasses, hw, cs, Ks, sizes, threshold=0.5, use_pallas_hist=None,
+    id_bits=20,
+):
+    """Cell-culled bucketed label fusion (the 1M-headline fast path).
+
+    Frames arrive grouped by visible-cell count (plan_window_buckets over
+    build_cell_index's counts); each group scans with a right-sized static
+    cell count Kb. Per frame: gather Kb [cs, 4] candidate blocks (block
+    gather ~0.2 ns/element), project, drop-invalid packed z-buffer
+    (serialized scatter, the cost floor), winner-row scatter, then one
+    Pallas histogram classify over the concatenated class matrix. Output is
+    bit-identical to tpu_label_fuse (full uncull) because the cell lists are
+    conservative supersets and padding duplicates are z-buffer/vote no-ops.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fusion3dseg_tpu.geometry import camera
+    from fusion3dseg_tpu.ops.zbuffer import (
+        INT32_MAX, lex_combine_gid_sharded, packed_pmin, packed_pmin_gid_sharded,
+    )
+
+    h, w = hw
+    INVALID = 255
+    NSUB = -(-npts // (1 << id_bits))
+    if use_pallas_hist is None:
+        use_pallas_hist = jax.devices()[0].platform == "tpu"
+    TILE_N = 512
+    npad = -(-npts // TILE_N) * TILE_N if use_pallas_hist else npts
+
+    @jax.jit
+    def run(cells_table, cell_lists, K, quats, trans, masks):
+        Cs = []
+        o = 0
+        for Kb, sz in zip(Ks, sizes):
+            Kb = min(Kb, cell_lists.shape[1])  # bucket round-up can pass Kmax
+            sl = slice(o, o + sz)
+            o += sz
+
+            def step(_, frame):
+                cl, q, t, mask = frame
+                blocks = cells_table[cl]  # [Kb, cs, 4] block gather
+                pts = blocks[..., :3].reshape(-1, 3)
+                ids = jax.lax.bitcast_convert_type(
+                    blocks[..., 3], jnp.int32
+                ).reshape(-1)
+                u, v, z = camera.project_points(pts, K, q, t)
+                ones = jnp.ones_like(z, bool)
+                if NSUB == 1:
+                    pmin = packed_pmin(u, v, z, ids, ones, h, w,
+                                       id_bits=id_bits, drop_invalid=True)
+                    win_id = pmin & ((1 << id_bits) - 1)
+                    has = pmin != INT32_MAX
+                else:
+                    pmin_sub = packed_pmin_gid_sharded(
+                        u, v, z, ids, ones, h, w, NSUB, id_bits=id_bits,
+                        z_bits=min(11, 31 - id_bits), drop_invalid=True,
+                    )
+                    win_id, has = lex_combine_gid_sharded(
+                        pmin_sub, id_bits=id_bits,
+                        z_bits=min(11, 31 - id_bits),
+                    )
+                row = jnp.full((npad,), INVALID, jnp.uint8)
+                row = row.at[jnp.where(has, win_id, npad)].set(
+                    mask.astype(jnp.uint8), mode="drop"
+                )
+                return None, row
+
+            _, Ck = jax.lax.scan(
+                step, None,
+                (cell_lists[sl, :Kb], quats[sl], trans[sl], masks[sl]),
+                unroll=4,
+            )
+            Cs.append(Ck)
+        C = Cs[0] if len(Cs) == 1 else jnp.concatenate(Cs, axis=0)
+        if use_pallas_hist:
+            from fusion3dseg_tpu.ops.histogram import histogram_classify_tpu
+
+            (total, vmax), classes = histogram_classify_tpu(
+                C, nclasses, threshold, tile_n=TILE_N
+            )
+            return (total[:npts], vmax[:npts]), classes[:npts]
+        return _histogram_classify(C, nclasses, threshold)
+
+    return run
+
+
 def plan_window_buckets(counts, nbuckets=8, round_to=8192, max_window=None):
     """Group frames into window-size classes for right-sized scans.
 

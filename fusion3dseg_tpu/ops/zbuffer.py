@@ -75,6 +75,7 @@ def packed_pmin(
     id_bits: int = 20,
     z_bits: int | None = None,
     max_depth: float = 10.0,
+    drop_invalid: bool = False,
 ) -> jax.Array:
     """THE packed z-buffer frame step, shared by every label-fusion kernel.
 
@@ -85,13 +86,23 @@ def packed_pmin(
     the winning quantized depth pmin >> id_bits.
 
     Spec: nearest wins at max_depth/2^z_bits resolution, ties -> lowest id.
+
+    drop_invalid: route invalid points to an out-of-bounds index dropped by
+    the scatter instead of a shared trash segment. Bit-identical output;
+    measured faster when many points are invalid (updates into one hot
+    trash segment serialize on its RMW chain: 7.9-9.2 ns/update at 33-95%
+    invalid vs a flat 7.3 ns with drop — see docs/DESIGN.md).
     """
     z_bits = min(z_bits if z_bits is not None else 11, 31 - id_bits)
     scale = float(1 << z_bits) / max_depth
     npix = height * width
     ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-    pix = jnp.where(ok, v * width + u, npix)
     zq = jnp.clip(z * scale, 0, (1 << z_bits) - 1).astype(jnp.int32)
+    if drop_invalid:
+        pix = jnp.where(ok, v * width + u, 2 * npix)
+        buf = jnp.full((npix,), INT32_MAX, jnp.int32)
+        return buf.at[pix].min((zq << id_bits) | ids, mode="drop")
+    pix = jnp.where(ok, v * width + u, npix)
     packed = jnp.where(ok, (zq << id_bits) | ids, INT32_MAX)
     return jax.ops.segment_min(packed, pix, num_segments=npix + 1)[:npix]
 
@@ -108,6 +119,7 @@ def packed_pmin_gid_sharded(
     id_bits: int = 20,
     z_bits: int | None = None,
     max_depth: float = 10.0,
+    drop_invalid: bool = False,
 ) -> jax.Array:
     """Packed z-buffer for > 2^id_bits point ids: gid-RANGE sharding.
 
@@ -128,11 +140,14 @@ def packed_pmin_gid_sharded(
     npix = height * width
     ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
     pix = v * width + u
-    seg = jnp.where(ok, (gids >> id_bits) * npix + pix, nsub * npix)
     zq = jnp.clip(z * scale, 0, (1 << z_bits) - 1).astype(jnp.int32)
-    packed = jnp.where(
-        ok, (zq << id_bits) | (gids & ((1 << id_bits) - 1)), INT32_MAX
-    )
+    packed_ok = (zq << id_bits) | (gids & ((1 << id_bits) - 1))
+    if drop_invalid:
+        seg = jnp.where(ok, (gids >> id_bits) * npix + pix, 2 * nsub * npix)
+        buf = jnp.full((nsub * npix,), INT32_MAX, jnp.int32)
+        return buf.at[seg].min(packed_ok, mode="drop").reshape(nsub, npix)
+    seg = jnp.where(ok, (gids >> id_bits) * npix + pix, nsub * npix)
+    packed = jnp.where(ok, packed_ok, INT32_MAX)
     pmin = jax.ops.segment_min(packed, seg, num_segments=nsub * npix + 1)
     return pmin[: nsub * npix].reshape(nsub, npix)
 

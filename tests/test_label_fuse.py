@@ -199,6 +199,47 @@ class TestBucketed:
         np.testing.assert_array_equal(np.asarray(tot_b), np.asarray(tot_s))
         np.testing.assert_array_equal(np.asarray(vmax_b), np.asarray(vmax_s))
 
+    def test_cells_matches_full(self, rng):
+        # KD-cell frustum culling must be bit-identical to the unculled
+        # kernel: conservative cell lists + duplicate-padding that is a
+        # no-op under min z-buffer and set-votes. Rotating cameras make
+        # some frames see few/zero cells (exercises list padding).
+        hw = (32, 24)
+        pts, K, quats, trans, masks = _workload(rng, N=3000, F=12, hw=hw)
+        ang = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        trans = np.stack(
+            [np.cos(ang) * 0.3, np.zeros(12), np.sin(ang) * 0.3], -1
+        ).astype(np.float32)
+        quats = np.stack(
+            [np.cos(ang / 2), np.zeros(12), np.sin(ang / 2), np.zeros(12)],
+            -1,
+        ).astype(np.float32)
+        run_full = label_fuse.tpu_label_fuse(len(pts), 10, hw)
+        (tot_f, vmax_f), c_full = run_full(
+            jnp.asarray(pts), jnp.asarray(K), jnp.asarray(quats),
+            jnp.asarray(trans), jnp.asarray(masks),
+        )
+        for id_bits in (20, 10):  # single-sub and gid-range-sharded paths
+            cells_table, cell_lists, counts = label_fuse.build_cell_index(
+                pts, K, quats, trans, hw, cell_size=64
+            )
+            perm, sizes, Ks = label_fuse.plan_window_buckets(
+                counts, nbuckets=3, round_to=2,
+                max_window=cell_lists.shape[1],
+            )
+            run_c = label_fuse.tpu_label_fuse_cells(
+                len(pts), 10, hw, cells_table.shape[1], Ks, sizes,
+                id_bits=id_bits,
+            )
+            (tot_c, vmax_c), c_cells = run_c(
+                jnp.asarray(cells_table), jnp.asarray(cell_lists[perm]),
+                jnp.asarray(K), jnp.asarray(quats[perm]),
+                jnp.asarray(trans[perm]), jnp.asarray(masks[perm]),
+            )
+            np.testing.assert_array_equal(np.asarray(c_cells), np.asarray(c_full))
+            np.testing.assert_array_equal(np.asarray(tot_c), np.asarray(tot_f))
+            np.testing.assert_array_equal(np.asarray(vmax_c), np.asarray(vmax_f))
+
 
 class TestPallasHistogram:
     def test_matches_xla_histogram(self, rng):
