@@ -248,8 +248,14 @@ def _fuse_frame(
     if zbits >= 8:
         slot32 = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
         zq = jnp.clip(z_w * ((1 << zbits) / max_depth), 0, (1 << zbits) - 1).astype(jnp.int32)
-        packed = jnp.where(ok_w, (zq << id_bits) | slot32, INT32_MAX)
-        pmin = jax.ops.segment_min(packed, cell, num_segments=ncells + 1)[:ncells]
+        packed = (zq << id_bits) | slot32
+        # drop-route culled points instead of a shared trash segment:
+        # updates into one hot segment serialize on its RMW chain (7.9-9.2
+        # ns/update at 33-95% invalid vs a flat 7.3 ns dropped; DESIGN.md)
+        cell_drop = jnp.where(ok_w, cell, 2 * ncells)
+        pmin = jnp.full((ncells,), INT32_MAX, jnp.int32).at[cell_drop].min(
+            packed, mode="drop"
+        )
         cand_of_cell = jnp.where(pmin == INT32_MAX, -1, pmin & ((1 << id_bits) - 1))
         # second candidate per cell: exclude the first winners and re-min.
         # A single candidate starves visible background points at occlusion
@@ -258,8 +264,10 @@ def _fuse_frame(
         # candidates per pixel.
         cell_safe = jnp.clip(cell, 0, ncells - 1)
         is_winner = ok_w & (packed == pmin[cell_safe])
-        packed2 = jnp.where(is_winner, INT32_MAX, packed)
-        pmin2 = jax.ops.segment_min(packed2, cell, num_segments=ncells + 1)[:ncells]
+        cell2_drop = jnp.where(is_winner, 2 * ncells, cell_drop)
+        pmin2 = jnp.full((ncells,), INT32_MAX, jnp.int32).at[cell2_drop].min(
+            packed, mode="drop"
+        )
         cand2_of_cell = jnp.where(
             pmin2 == INT32_MAX, -1, pmin2 & ((1 << id_bits) - 1)
         )
@@ -304,19 +312,21 @@ def _fuse_frame(
 
     # 4. merge matched dense pixels into their sparse slots (running mean of
     #    this frame's matches + the current sparse value, fusion.py:288-295)
-    mseg = jnp.where(matched, match, W)
-    mw = matched.astype(jnp.float32)
     # one fused [P,10] row-scatter instead of four separate segment_sums:
     # scatter passes serialize per update (docs/DESIGN.md), so batching the
     # count + position + color + normal accumulations into one pass cuts
-    # the merge's scatter count 4x
-    acc = jax.ops.segment_sum(
+    # the merge's scatter count 4x. Unmatched pixels (often the majority)
+    # drop-route (index W is out of bounds for the [W,10] buffer) instead
+    # of accumulating into a trash row — same update order, bit-identical
+    # sums, no hot-segment serialization (DESIGN.md r3 probes).
+    mseg = jnp.where(matched, match, W)
+    acc = jnp.zeros((W, 10), jnp.float32).at[mseg].add(
         jnp.concatenate(
-            [mw[:, None], fpts * mw[:, None], fclr * mw[:, None],
-             fnrm * mw[:, None]], axis=1,
+            [jnp.ones((fpts.shape[0], 1), jnp.float32), fpts, fclr, fnrm],
+            axis=1,
         ),
-        mseg, num_segments=W + 1,
-    )[:W]
+        mode="drop",
+    )
     cnt, spt, scl, snr = acc[:, 0], acc[:, 1:4], acc[:, 4:7], acc[:, 7:10]
 
     touched = cnt > 0

@@ -104,10 +104,16 @@ def voxel_merge(
     ) & (sx != INT32_MAX)
     runid_sorted = jnp.cumsum(newrun.astype(jnp.int32)) - 1
     seg_of_row = jnp.zeros((N,), jnp.int32).at[sidx].set(runid_sorted)
+    # invalid rows drop-route (index N is OOB for the [N,3] buffer) rather
+    # than accumulating into a trash segment — one hot segment serializes
+    # its RMW chain (docs/DESIGN.md r3 probes); same update order, so the
+    # per-cell float sums are bit-identical.
     seg0 = jnp.where(valid & (seg_of_row >= 0), seg_of_row, N)
 
-    w = jnp.where(seg0 < N, weights.astype(jnp.float32), 0.0)
-    nsum = jax.ops.segment_sum(normals * w[:, None], seg0, num_segments=N + 1)
+    w = weights.astype(jnp.float32)
+    nsum = jnp.zeros((N, 3), jnp.float32).at[seg0].add(
+        normals * w[:, None], mode="drop"
+    )
     nmean = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
     agree = jnp.einsum(
         "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, N - 1)], precision="highest"
@@ -115,19 +121,20 @@ def voxel_merge(
     secondary = (agree <= min_cosine) & valid
 
     seg = jnp.where(seg0 < N, seg0 * 2 + secondary.astype(jnp.int32), C)
-    w = jnp.where(seg < C, weights.astype(jnp.float32), 0.0)
+    w = weights.astype(jnp.float32)
 
     # one fused [N,11] row scatter instead of five separate segment_sums
     # (scatter passes serialize per update — docs/DESIGN.md). The occurrence
     # counters ride as f32: their per-cell sums are bounded by the session
-    # frame count << 2^24, so the round-trip is exact.
-    occ_f = jnp.where(seg < C, occurences, 0).astype(jnp.float32)
-    acc = jax.ops.segment_sum(
+    # frame count << 2^24, so the round-trip is exact. Invalid rows (seg ==
+    # C, OOB for the [C,11] buffer) drop instead of hitting a trash row.
+    occ_f = occurences.astype(jnp.float32)
+    acc = jnp.zeros((C, 11), jnp.float32).at[seg].add(
         jnp.concatenate(
             [w[:, None], occ_f[:, None], points * w[:, None],
              colors * w[:, None], normals * w[:, None]], axis=1,
         ),
-        seg, num_segments=C + 1,
+        mode="drop",
     )
     cnt, occ = acc[:, 0], acc[:, 1]
     psum, csum, n2sum = acc[:, 2:5], acc[:, 5:8], acc[:, 8:11]
