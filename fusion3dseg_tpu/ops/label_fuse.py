@@ -4,8 +4,10 @@ The production fast path for lifting 2D masks onto a session-wide point
 cloud (BASELINE configs 1-3): one jitted lax.scan over frames computing a
 packed z-buffer per frame, a [frames, npts] winner-class matrix, and a
 batched row-sort histogram classification — no large-table scatters anywhere
-(docs/DESIGN.md). With the view-coherent culling index each frame touches
-only ~0.3N points. bench.py drives exactly these functions.
+(docs/DESIGN.md). With the KD-cell frustum-culling index each frame touches
+only ~0.14N candidate points (`label_fuse_session` is the one-call entry;
+the azimuth view index kernels remain as the simpler alternative).
+bench.py drives exactly these functions.
 
 Semantics: per frame, each point wins at most its nearest-visible pixel
 (z-buffer spec: nearest at max_depth/2^11 resolution, ties -> lowest id) and
@@ -271,6 +273,51 @@ def tpu_label_fuse_cells(
         return _histogram_classify(C, nclasses, threshold)
 
     return run
+
+
+def label_fuse_session(points, K, quats, trans, masks, hw, nclasses=133,
+                       threshold=0.5, cell_size=128, nbuckets=12,
+                       id_bits=20):
+    """One-call culled label fusion for a whole session.
+
+    Builds the KD-cell frustum-culling index on the host, plans
+    right-sized scan buckets, and runs `tpu_label_fuse_cells` — the same
+    composition bench.py's headline uses, as a single public entry point.
+    Output is bit-identical to `tpu_label_fuse` (the unculled kernel).
+
+    Args:
+      points: [N,3] float host array (world).
+      K: [3,3] intrinsics at the mask resolution.
+      quats, trans: [F,4] wxyz world-from-camera rotations, [F,3] camera
+        centers.
+      masks: [F, H*W] uint8 per-frame class images (reference mask PNG
+        contract, get2DSeg.py:125-126).
+      hw: (H, W) of the masks.
+
+    Returns ((total_votes, max_votes), classes) as device arrays, classes
+    [N] int32 with `nclasses` = unclassified (voting.py:106-137 rule).
+    """
+    import jax.numpy as jnp
+
+    points = np.asarray(points)
+    cells_table, cell_lists, counts = build_cell_index(
+        points, K, quats, trans, hw, cell_size=cell_size
+    )
+    perm, sizes, Ks = plan_window_buckets(
+        counts, nbuckets=nbuckets, round_to=8,
+        max_window=cell_lists.shape[1],
+    )
+    run = tpu_label_fuse_cells(
+        len(points), nclasses, hw, cells_table.shape[1], Ks, sizes,
+        threshold=threshold, id_bits=id_bits,
+    )
+    perm = np.asarray(perm)
+    return run(
+        jnp.asarray(cells_table), jnp.asarray(cell_lists[perm]),
+        jnp.asarray(K, jnp.float32), jnp.asarray(np.asarray(quats)[perm]),
+        jnp.asarray(np.asarray(trans)[perm]),
+        jnp.asarray(np.asarray(masks)[perm]),
+    )
 
 
 def plan_window_buckets(counts, nbuckets=8, round_to=8192, max_window=None):

@@ -239,6 +239,14 @@ class TestBucketed:
             np.testing.assert_array_equal(np.asarray(c_cells), np.asarray(c_full))
             np.testing.assert_array_equal(np.asarray(tot_c), np.asarray(tot_f))
             np.testing.assert_array_equal(np.asarray(vmax_c), np.asarray(vmax_f))
+        # the one-call wrapper composes the same pieces
+        (tot_w, vmax_w), c_wrap = label_fuse.label_fuse_session(
+            pts, K, quats, trans, masks, hw, nclasses=10, cell_size=64,
+            nbuckets=3,
+        )
+        np.testing.assert_array_equal(np.asarray(c_wrap), np.asarray(c_full))
+        np.testing.assert_array_equal(np.asarray(tot_w), np.asarray(tot_f))
+        np.testing.assert_array_equal(np.asarray(vmax_w), np.asarray(vmax_f))
 
 
 class TestPallasHistogram:
