@@ -67,6 +67,7 @@ def _append_sparsified(
     state: FusionState, sp: sparsify.SparsifyResult, capacity: int
 ) -> Tuple[FusionState, jax.Array]:
     """Append occupied sparsify cells to the buffer; returns (state, cell->slot map)."""
+    C = sp.counts.shape[0]
     dest_rank, total_new = sparsify.compact_slots(sp.counts)
     occupied = sp.counts > 0
     dest = jnp.where(occupied, state.n + dest_rank, capacity)  # capacity = dropped
@@ -74,21 +75,78 @@ def _append_sparsified(
     write = occupied & fits
     dest = jnp.where(write, dest, capacity)
 
-    # two fused row scatters instead of five (scatters serialize per
-    # update — docs/DESIGN.md): one [C,9] for the float fields, one [C,2]
-    # for the integer counters (kept int32 end-to-end — a float carry
-    # would silently round accumulated nmerges beyond 2^24 on
-    # multi-thousand-frame sessions).
-    combined = jnp.concatenate(
-        [state.points, state.normals, state.colors], axis=1
-    )
-    upd = jnp.concatenate([sp.points, sp.normals, sp.colors], axis=1)
-    combined = combined.at[dest].set(upd, mode="drop")
-    points, normals, colors = combined[:, 0:3], combined[:, 3:6], combined[:, 6:9]
-    counters = jnp.stack([state.nmerges, state.occurences], axis=1)
-    upd_i = jnp.stack([sp.counts, jnp.ones_like(sp.counts)], axis=1)
-    counters = counters.at[dest].set(upd_i, mode="drop")
-    nmerges, occ = counters[:, 0], counters[:, 1]
+    # Two append strategies, chosen STATICALLY by capacity (measured
+    # crossover, r3 controlled A/B at window 32768: scatter 99.8 fps vs
+    # staged 87.4 at 128k cap; staged 82.7 vs scatter 58.6 at 1M cap):
+    #
+    # - scatter: two fused row scatters straight into the [capacity,*]
+    #   state (one [C,9] float, one [C,2] counters kept int32 end-to-end —
+    #   a float carry would silently round nmerges beyond 2^24 on
+    #   multi-thousand-frame sessions). XLA copies the non-aliased buffer
+    #   through a transposed layout, so this pass is O(capacity) per
+    #   frame, not O(updates) — fine at small capacities, 4.1+3.8
+    #   ms/frame at 1M (r3 profile).
+    # - staged: appends land in the contiguous range [n, n+total_new), so
+    #   stage-compact the rows into SMALL [C,*] buffers and commit with
+    #   dynamic_update_slice at offset n (vectorized copies). The slice
+    #   writes staging zeros into [n+total_new, n+C) — slots not yet
+    #   live, rewritten by the exact slice that makes them live before
+    #   any read. A lax.cond falls back to the scatter path when n + C
+    #   would cross capacity, preserving drop-at-capacity semantics; the
+    #   cond is also why small capacities avoid this path (it blocks
+    #   carry donation and costs ~12% there).
+    def scatter_append(_):
+        combined = jnp.concatenate(
+            [state.points, state.normals, state.colors], axis=1
+        )
+        combined = combined.at[dest].set(
+            jnp.concatenate([sp.points, sp.normals, sp.colors], axis=1),
+            mode="drop",
+        )
+        counters = jnp.stack([state.nmerges, state.occurences], axis=1)
+        counters = counters.at[dest].set(
+            jnp.stack([sp.counts, jnp.ones_like(sp.counts)], axis=1),
+            mode="drop",
+        )
+        return (combined[:, 0:3], combined[:, 3:6], combined[:, 6:9],
+                counters[:, 0], counters[:, 1])
+
+    if capacity <= max(C, 1 << 18):
+        points, normals, colors, nmerges, occ = scatter_append(None)
+    else:
+        rank = jnp.where(write, dest_rank, C)
+        stage_f = jnp.zeros((C, 9), jnp.float32).at[rank].set(
+            jnp.concatenate([sp.points, sp.normals, sp.colors], axis=1),
+            mode="drop",
+        )
+        stage_i = jnp.zeros((C, 2), jnp.int32).at[rank].set(
+            jnp.stack([sp.counts, jnp.ones_like(sp.counts)], axis=1),
+            mode="drop",
+        )
+
+        def staged_append(_):
+            n0 = state.n
+            return (
+                jax.lax.dynamic_update_slice(
+                    state.points, stage_f[:, 0:3], (n0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    state.normals, stage_f[:, 3:6], (n0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    state.colors, stage_f[:, 6:9], (n0, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    state.nmerges, stage_i[:, 0], (n0,)
+                ),
+                jax.lax.dynamic_update_slice(
+                    state.occurences, stage_i[:, 1], (n0,)
+                ),
+            )
+
+        points, normals, colors, nmerges, occ = jax.lax.cond(
+            state.n + C <= capacity, staged_append, scatter_append, None
+        )
     n = jnp.minimum(state.n + total_new, capacity)
 
     cell2slot = jnp.where(write, dest, -1).astype(jnp.int32)
@@ -203,36 +261,46 @@ def _fuse_frame(
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     active = slot_ids < state.n
 
-    # 1. frustum + far-plane culling of the sparse cloud
+    # 1. frustum + far-plane culling of the sparse cloud (one [cap,5]
+    # half-space einsum — the ONLY full-capacity pass in the windowed
+    # path)
     plane_pts, plane_ns = camera.frustum_world_planes(
         Ks, width, height, q, t, max_depth
     )
     inter = intersections.points_inside_polyhedra(state.points, plane_pts, plane_ns)
     inter = inter & active
 
-    # 2. project culled sparse points into this frame
-    u, v, z = camera.project_points(state.points, Ks, q, t)
-    ok = inter & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-
     # window selection: cover the visible slot range; if it exceeds W,
     # prefer the NEWEST slots (freshly appended geometry is the most likely
-    # to re-match; old slots resurface only at loop closure)
+    # to re-match; old slots resurface only at loop closure). The range
+    # comes from the frustum test ALONE — a conservative superset of
+    # pixel-bounds visibility — so the full-capacity projection the old
+    # path ran just to pick the window is gone (it cost ~1.4 ms/frame in
+    # matmul passes plus ~4.7 ms/frame in [cap,3] layout-conversion
+    # copies at 1M capacity; r3 profile). Superset semantics keep the
+    # exactness property: window >= the visible span still reproduces the
+    # unwindowed merge, since the true span is contained in the frustum
+    # span.
     W = capacity if (window is None or window >= capacity) else int(window)
     if W < capacity:
-        vis = jnp.where(ok, slot_ids, capacity)
+        vis = jnp.where(inter, slot_ids, capacity)
         minv = jnp.min(vis)
-        maxv = jnp.max(jnp.where(ok, slot_ids, -1))
+        maxv = jnp.max(jnp.where(inter, slot_ids, -1))
         w0 = jnp.clip(jnp.maximum(minv, maxv - W + 1), 0, capacity - W)
         pts_w = jax.lax.dynamic_slice(state.points, (w0, 0), (W, 3))
         nrm_w = jax.lax.dynamic_slice(state.normals, (w0, 0), (W, 3))
-        u_w = jax.lax.dynamic_slice(u, (w0,), (W,))
-        v_w = jax.lax.dynamic_slice(v, (w0,), (W,))
-        z_w = jax.lax.dynamic_slice(z, (w0,), (W,))
-        ok_w = jax.lax.dynamic_slice(ok, (w0,), (W,))
+        inter_w = jax.lax.dynamic_slice(inter, (w0,), (W,))
+        # 2. project ONLY the window slice into this frame
+        u_w, v_w, z_w = camera.project_points(pts_w, Ks, q, t)
+        ok_w = inter_w & (z_w > 0) & (u_w >= 0) & (u_w < width) \
+            & (v_w >= 0) & (v_w < height)
     else:
         w0 = jnp.int32(0)
         pts_w, nrm_w = state.points, state.normals
-        u_w, v_w, z_w, ok_w = u, v, z, ok
+        # 2. project the whole (small) buffer into this frame
+        u_w, v_w, z_w = camera.project_points(state.points, Ks, q, t)
+        ok_w = inter & (z_w > 0) & (u_w >= 0) & (u_w < width) \
+            & (v_w >= 0) & (v_w < height)
 
     # 3a. z-buffer sparse points into the coarse candidate grid. Packed
     # depth+slot single segment_min (one scatter instead of two — scatters
