@@ -178,6 +178,59 @@ class TestMultiSession:
                 *args, chunk_frames=4, ckpt_dir=tmp_path, window=512, **KW
             )
 
+    def test_append_strategies_agree_and_drop_at_capacity(self):
+        """_append_sparsified picks its strategy statically by capacity
+        (scatter <= 2^18 < staged).  The two must write identical rows for
+        the same update set, and the staged path's near-capacity cond
+        fallback must preserve drop-at-capacity semantics exactly."""
+        from fusion3dseg_tpu.fusion.fusion import (
+            FusionState, _append_sparsified, _empty_state,
+        )
+        from fusion3dseg_tpu.ops.sparsify import SparsifyResult
+
+        C = 64
+        rng = np.random.default_rng(0)
+        counts = rng.integers(0, 3, size=C).astype(np.int32)  # ~2/3 occupied
+        sp = SparsifyResult(
+            points=jnp.asarray(rng.normal(size=(C, 3)).astype(np.float32)),
+            normals=jnp.asarray(rng.normal(size=(C, 3)).astype(np.float32)),
+            colors=jnp.asarray(rng.random((C, 3)).astype(np.float32)),
+            counts=jnp.asarray(counts),
+            cell_of_pixel=jnp.zeros((4,), jnp.int32),
+            num_cells=C,
+        )
+        total = int((counts > 0).sum())
+
+        # same appends through both strategies -> identical written rows
+        small, big = 1 << 18, 1 << 19  # scatter vs staged, both empty
+        st_s, map_s = _append_sparsified(_empty_state(small), sp, small)
+        st_b, map_b = _append_sparsified(_empty_state(big), sp, big)
+        assert int(st_s.n) == int(st_b.n) == total
+        for fld in ("points", "normals", "colors", "nmerges", "occurences"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_s, fld))[:total],
+                np.asarray(getattr(st_b, fld))[:total])
+        np.testing.assert_array_equal(np.asarray(map_s), np.asarray(map_b))
+
+        # staged path with n + C crossing capacity: cond falls back to the
+        # scatter append; first (capacity - n) occupied cells land, rest drop
+        room = 5
+        nearly = FusionState(*(
+            jnp.asarray(x) for x in (
+                np.zeros((big, 3), np.float32),) * 3 + (
+                np.zeros((big,), np.int32),) * 2),
+            n=jnp.int32(big - room))
+        st_f, map_f = _append_sparsified(nearly, sp, big)
+        assert int(st_f.n) == big  # clamped full, not overflowed
+        kept = np.asarray(map_f) >= 0
+        assert int(kept.sum()) == room
+        occ_rank = np.cumsum(counts > 0) - 1
+        expect_kept = (counts > 0) & (occ_rank < room)
+        np.testing.assert_array_equal(kept, expect_kept)
+        np.testing.assert_allclose(
+            np.asarray(st_f.points)[big - room:],
+            np.asarray(sp.points)[expect_kept], atol=0)
+
     def test_auto_window_heuristic(self):
         from fusion3dseg_tpu.fusion import auto_window
 
