@@ -436,6 +436,30 @@ def fusion_and_e2e(args, result):
     result["fusion_engine_1m_cap_frames_per_sec"] = round(fusion_1m_fps, 1)
     result["fusion_engine_1m_auto_window"] = awin
 
+    # real-capture resolution: VGA 640x480 (TUM/Kinect native). A shorter
+    # session keeps the ~27 MB/s H2D staging bounded (12 frames = 136 MB);
+    # fps is resolution-bound, not session-length-bound (docs/ROUND3.md #14)
+    vsess = synthetic.make_session(nframes=12, depth_hw=(480, 640))
+    vsd = rtab.SessionData.from_arrays(
+        vsess.colors, vsess.depth, vsess.K,
+        vsess.quats_wxyz[:, [1, 2, 3, 0]], vsess.translations,
+    )
+    vvalid = (vsd.depth > 0.1) & (vsd.depth <= 8.0)
+    vargs = tuple(jnp.asarray(x) for x in (
+        vsd.Ks.astype(np.float32), vsd.quats_wxyz, vsd.translations,
+        vsd.points, vsd.normals, vsd.colors, vvalid))
+    vkw = dict(height=480, width=640, radius=0.05,
+               min_cosine=float(np.cos(np.deg2rad(10.0))), max_depth=8.0,
+               capacity=1 << 18, window=1 << 14)
+    state, _ = fusion_engine.fuse_session(*vargs, **vkw)
+    int(np.asarray(state.n))
+    t0 = time.perf_counter()
+    state, _ = fusion_engine.fuse_session(*vargs, **vkw)
+    int(np.asarray(state.n))
+    vga_fps = 12 / (time.perf_counter() - t0)
+    log(f"fusion engine: {vga_fps:.1f} frames/s (VGA 640x480, cap 256k)")
+    result["fusion_engine_vga_frames_per_sec"] = round(vga_fps, 1)
+
     if args.no_e2e_stat:
         return
 

@@ -153,6 +153,18 @@ def _append_sparsified(
     return FusionState(points, normals, colors, nmerges, occ, n), cell2slot
 
 
+def _frame_extent_cells(max_depth: float, radius: float) -> int:
+    """Static per-axis voxel bound for ONE frame's point extent, enabling
+    sparsify's packed single-key sort (ops/sparsify.voxel_merge). A frame's
+    valid points lie within the caller's depth range of one camera, so the
+    pairwise extent is <= 2x that range; 4*max_depth allows callers whose
+    validity range reaches past `max_depth` (the engine only uses max_depth
+    for sparse-side culling) before the clamp could distort anything.
+    voxel_merge falls back to the exact 3-key sort when this bound does not
+    fit a packed int32 key (e.g. very small radii)."""
+    return int(np.ceil(4.0 * max_depth / radius)) + 3
+
+
 def _seed_frame(
     state: FusionState,
     fpts, fnrm, fclr, fvalid,
@@ -161,9 +173,9 @@ def _seed_frame(
     """First frame: voxel-sparsify at the merge radius (the analog of the
     reference's seed patch_downsample, fusion.py:239-245; the voxel
     formulation has no separate `stride` axis — radius governs)."""
-    del max_depth  # culling applies from the second frame on
     sp = sparsify.patch_sparsify(
         fpts, fnrm, fclr, fvalid, height, width, radius, min_cosine,
+        extent_cells=_frame_extent_cells(max_depth, radius),
     )
     state, cell2slot = _append_sparsified(state, sp, capacity)
     uv2pt = jnp.where(
@@ -196,22 +208,27 @@ def _match_pixels(
     """
     P = height * width
     gh, gw = grid.shape[:2]
-    padg = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)))
+    padg = jnp.pad(grid, ((1, 1), (1, 1), (0, 0))).reshape(gh + 2, gw + 2, 2, 6)
     pads = jnp.pad(slotg, ((1, 1), (1, 1), (0, 0)), constant_values=-1)
+    # stack directly in candidate-major order (index = cand*9 + offset,
+    # offsets row-major) — the tie-break order of the argmin below — so no
+    # [P,·,·,6] transpose pass is needed after the pixel upsample (that
+    # layout shuffle moved ~130 MB/frame at VGA)
     neigh = jnp.stack(
-        [padg[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
+        [padg[dy : dy + gh, dx : dx + gw, c]
+         for c in range(2) for dy in range(3) for dx in range(3)],
         axis=2,
-    )  # [gh, gw, 9, 12]
+    )  # [gh, gw, 18, 6]
     nslot = jnp.stack(
-        [pads[dy : dy + gh, dx : dx + gw] for dy in range(3) for dx in range(3)],
+        [pads[dy : dy + gh, dx : dx + gw, c]
+         for c in range(2) for dy in range(3) for dx in range(3)],
         axis=2,
-    )  # [gh, gw, 9, 2]
+    )  # [gh, gw, 18]
     # cell -> pixel upsample (pixel (v,u) reads cell (v//half, u//half))
     pixd = jnp.repeat(jnp.repeat(neigh, half, axis=0), half, axis=1)[:height, :width]
     pixs = jnp.repeat(jnp.repeat(nslot, half, axis=0), half, axis=1)[:height, :width]
-    # [P, 2, 9, 6] -> [P, 18, 6]: candidate-major like the old concat
-    cpn = pixd.reshape(P, 9, 2, 6).transpose(0, 2, 1, 3).reshape(P, 18, 6)
-    cand = pixs.reshape(P, 9, 2).transpose(0, 2, 1).reshape(P, 18)
+    cpn = pixd.reshape(P, 18, 6)
+    cand = pixs.reshape(P, 18)
 
     cmask = cand >= 0
     cpts, cnrm = cpn[..., :3], cpn[..., 3:]
@@ -427,6 +444,7 @@ def _fuse_frame(
     leftover = fvalid & jnp.logical_not(matched)
     sp = sparsify.patch_sparsify(
         fpts, fnrm, fclr, leftover, height, width, radius, min_cosine,
+        extent_cells=_frame_extent_cells(max_depth, radius),
     )
     state, cell2slot = _append_sparsified(state, sp, capacity)
 

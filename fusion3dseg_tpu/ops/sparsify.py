@@ -70,6 +70,7 @@ def voxel_merge(
     valid: jax.Array,
     radius: float,
     min_cosine: float,
+    extent_cells: int | None = None,
 ) -> MergeResult:
     """Weight-aware voxel merge of an arbitrary point set (the cross-chunk
     combiner behind the sharded fusion engine, and the kernel inside
@@ -82,6 +83,16 @@ def voxel_merge(
     weight/occurrence counters. Weights carry merge multiplicity (nmerges)
     so re-merging sparse buffers keeps running means exact up to voxel
     re-binning.
+
+    `extent_cells` (static): when the caller can bound the point extent to
+    < extent_cells voxels per axis (a single depth-culled frame spans at
+    most 2*max_depth/radius), the three sort keys pack into ONE int32 in
+    the same lexicographic order and the 4-operand sort becomes a
+    2-operand sort — identical grouping, identical cell numbering, the
+    sort is the per-frame cost center at VGA+ resolutions. Falls back to
+    the 3-key sort when the packed key would not fit 31 bits. Points
+    outside the promised extent clamp into boundary voxels (only possible
+    for out-of-contract inputs).
     """
     N = points.shape[0]
     C = 2 * N
@@ -90,18 +101,33 @@ def voxel_merge(
     pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
     vox = jnp.floor((points - pmin) / radius).astype(jnp.int32)
     vox = jnp.maximum(vox, 0)
-    kx = jnp.where(valid, vox[:, 0], INT32_MAX)
-    ky = jnp.where(valid, vox[:, 1], INT32_MAX)
-    kz = jnp.where(valid, vox[:, 2], INT32_MAX)
+
+    bits = 0
+    if extent_cells is not None and extent_cells > 0:
+        bits = max(1, (int(extent_cells) - 1).bit_length())
+        if 3 * bits > 31:
+            bits = 0  # extent too wide for a packed int32 key
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
-    sx, sy, sz, sidx = jax.lax.sort((kx, ky, kz, ids), num_keys=3)
-    newrun = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
-        ]
-    ) & (sx != INT32_MAX)
+    if bits:
+        vox = jnp.minimum(vox, (1 << bits) - 1)
+        packed = (vox[:, 0] << (2 * bits)) | (vox[:, 1] << bits) | vox[:, 2]
+        packed = jnp.where(valid, packed, INT32_MAX)
+        sp, sidx = jax.lax.sort((packed, ids), num_keys=1)
+        newrun = jnp.concatenate(
+            [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
+        ) & (sp != INT32_MAX)
+    else:
+        kx = jnp.where(valid, vox[:, 0], INT32_MAX)
+        ky = jnp.where(valid, vox[:, 1], INT32_MAX)
+        kz = jnp.where(valid, vox[:, 2], INT32_MAX)
+        sx, sy, sz, sidx = jax.lax.sort((kx, ky, kz, ids), num_keys=3)
+        newrun = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
+            ]
+        ) & (sx != INT32_MAX)
     runid_sorted = jnp.cumsum(newrun.astype(jnp.int32)) - 1
     seg_of_row = jnp.zeros((N,), jnp.int32).at[sidx].set(runid_sorted)
     # invalid rows drop-route (index N is OOB for the [N,3] buffer) rather
@@ -163,6 +189,7 @@ def patch_sparsify(
     width: int,
     radius: float,
     min_cosine: float,
+    extent_cells: int | None = None,
 ) -> SparsifyResult:
     """Sparsify one frame (dense pixel cloud -> per-voxel means).
 
@@ -174,6 +201,9 @@ def patch_sparsify(
       radius: merge distance scale (= voxel side). (The reference's patch
         `stride` only bounded its greedy search and has no analog here.)
       min_cosine: normal-agreement threshold.
+      extent_cells: static per-axis voxel-extent bound enabling the packed
+        single-key sort (see voxel_merge); a depth-culled frame satisfies
+        extent_cells = ceil(2 * max_depth / radius) + margin.
 
     Returns:
       SparsifyResult with C = 2 * H * W padded cell slots (a frame produces
@@ -181,7 +211,8 @@ def patch_sparsify(
     """
     HW = height * width
     ones = jnp.ones((HW,), jnp.int32)
-    m = voxel_merge(points, normals, colors, ones, ones, valid, radius, min_cosine)
+    m = voxel_merge(points, normals, colors, ones, ones, valid, radius,
+                    min_cosine, extent_cells=extent_cells)
     return SparsifyResult(
         m.points, m.normals, m.colors, m.counts, m.cell_of_input, m.num_cells
     )

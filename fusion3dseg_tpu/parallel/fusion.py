@@ -45,8 +45,8 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from fusion3dseg_tpu.fusion.fusion import (
-    FusionState, _append_sparsified, _empty_state, _fuse_frame,
-    _match_pixels, _seed_frame,
+    FusionState, _append_sparsified, _empty_state, _frame_extent_cells,
+    _fuse_frame, _match_pixels, _seed_frame,
 )
 from fusion3dseg_tpu.geometry import camera, intersections
 from fusion3dseg_tpu.ops import sparsify
@@ -252,7 +252,8 @@ def fuse_session_spatial_sharded(
 
         state = _empty_state(capacity)
         sp0 = sparsify.patch_sparsify(
-            fps[0], fns[0], fcs[0], fvs[0], height, width, radius, min_cosine
+            fps[0], fns[0], fcs[0], fvs[0], height, width, radius, min_cosine,
+            extent_cells=_frame_extent_cells(max_depth, radius),
         )
         state, c2s = _append_owned(state, sp0, rank)
         uv0 = jnp.where(
@@ -385,7 +386,8 @@ def fuse_session_spatial_sharded(
             # append (+ one psum to assemble the global cell2slot map)
             leftover = fv & jnp.logical_not(matched)
             sp = sparsify.patch_sparsify(
-                fp, fn, fc, leftover, height, width, radius, min_cosine
+                fp, fn, fc, leftover, height, width, radius, min_cosine,
+                extent_cells=_frame_extent_cells(max_depth, radius),
             )
             state, c2s = _append_owned(state, sp, rank)
 

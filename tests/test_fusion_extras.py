@@ -178,6 +178,36 @@ class TestMultiSession:
                 *args, chunk_frames=4, ckpt_dir=tmp_path, window=512, **KW
             )
 
+    def test_packed_key_sparsify_bit_identical(self):
+        """voxel_merge's packed single-key sort (static extent bound) must
+        reproduce the 3-key lexicographic sort bit-exactly: same cell
+        numbering, same means, same per-row cell map — including secondary
+        normal-cone splits and invalid rows — and must silently fall back
+        when the bound does not fit 31 packed bits."""
+        from fusion3dseg_tpu.ops.sparsify import voxel_merge
+
+        rng = np.random.default_rng(7)
+        N = 4096
+        pts = rng.uniform(-4.0, 4.0, size=(N, 3)).astype(np.float32)
+        nrm = rng.normal(size=(N, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        # cluster many points so voxels are multi-member and normal
+        # disagreement triggers secondary cells
+        pts[: N // 2] = pts[rng.integers(N // 2, N, size=N // 2)]
+        clr = rng.random((N, 3)).astype(np.float32)
+        w = rng.integers(1, 5, size=N).astype(np.int32)
+        occ = rng.integers(1, 9, size=N).astype(np.int32)
+        valid = rng.random(N) > 0.2
+        args = tuple(jnp.asarray(x) for x in (pts, nrm, clr, w, occ, valid))
+
+        ref = voxel_merge(*args, 0.1, 0.9, extent_cells=None)
+        for ext in (81, 1 << 7, 1 << 12):  # 1<<12 -> 36 bits -> fallback
+            got = voxel_merge(*args, 0.1, 0.9, extent_cells=ext)
+            for fld in ref._fields[:-1]:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref, fld)),
+                    np.asarray(getattr(got, fld)), err_msg=f"{fld} @ {ext}")
+
     def test_append_strategies_agree_and_drop_at_capacity(self):
         """_append_sparsified picks its strategy statically by capacity
         (scatter <= 2^18 < staged).  The two must write identical rows for
