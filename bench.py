@@ -633,12 +633,35 @@ def main():
                     help="capture a jax.profiler trace of one timed run")
     args = ap.parse_args()
 
+    import threading
+
+    # Device-discovery watchdog: if the axon tunnel is down, jax.devices()
+    # hangs forever inside PJRT init (observed when the relay process died
+    # mid-round) — emit a diagnosable JSON line instead of stalling the
+    # driver. Normal first contact is seconds; 300 s is compile-safe
+    # because compiles happen after device init.
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(300):
+            print(json.dumps({
+                "metric": "points/sec projected+label-fused "
+                          "(1M-pt cloud, 300 frames)",
+                "unit": "points/sec", "value": None, "vs_baseline": None,
+                "error": "device discovery timed out after 300s — "
+                         "TPU tunnel unreachable",
+            }), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     import fusion3dseg_tpu
 
     fusion3dseg_tpu.enable_compile_cache()
     platform = jax.devices()[0].platform
+    init_done.set()
     log(f"platform: {jax.devices()}")
 
     result = {

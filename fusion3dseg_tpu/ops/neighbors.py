@@ -25,13 +25,17 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
-# 27-cell neighborhood offsets, [27, 3]
-_OFFSETS = jnp.asarray(
+# 27-cell neighborhood offsets, [27, 3]. Kept as a HOST array: a
+# module-level jnp.asarray would contact the backend at import time (the
+# whole package must import without touching devices — an unreachable
+# TPU tunnel otherwise hangs every importer before main() can guard it).
+_OFFSETS = np.asarray(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    jnp.int32,
+    np.int32,
 )
 
 
