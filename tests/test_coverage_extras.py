@@ -166,3 +166,30 @@ class TestRadiusVoting:
         assert votes[0, 3] == 1 and votes[0, 7] == 1 and votes[0, 10] == 1
         # sparse 1 within 0.6 of pixel 1 only
         assert votes[1, 7] == 1 and votes[1, 10] == 1 and votes[1, 3] == 0
+
+
+class TestImportHygiene:
+    def test_package_import_initializes_no_backend(self):
+        """Importing ANY part of the package must not contact a device:
+        with the TPU tunnel down, an import-time backend init hangs every
+        process (incl. the bench watchdog) before a guard can run.
+        Regression: ops/neighbors once built a module-level jnp constant."""
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "import fusion3dseg_tpu\n"
+            "import fusion3dseg_tpu.ops.label_fuse, fusion3dseg_tpu.fusion\n"
+            "import fusion3dseg_tpu.pipeline, fusion3dseg_tpu.parallel\n"
+            "import fusion3dseg_tpu.models, fusion3dseg_tpu.io.rtab\n"
+            "from jax._src import xla_bridge\n"
+            "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+            "print('clean')\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "clean" in r.stdout
