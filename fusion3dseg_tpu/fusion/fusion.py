@@ -856,6 +856,7 @@ class Fusion:
                 jnp.asarray(s0.points[start]), jnp.asarray(s0.normals[start]),
                 jnp.asarray(s0.colors[start]), jnp.asarray(valid[start]),
                 h, w, float(radius), min_cosine,
+                extent_cells=_frame_extent_cells(max_depth, radius),
             )
             n0 = max(int(np.asarray(jnp.sum(sp.counts > 0))), 256)
         if self.capacity is None:
