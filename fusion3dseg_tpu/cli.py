@@ -329,6 +329,8 @@ def main(argv=None):
         if mask_dir is None:
             mask_dir = str(Path(args.output_dir) / "masks")
             ckpt = args.checkpoint or shipped_checkpoint(args.model)
+            if ckpt == "random":  # same sentinel as the seg2d subcommand
+                ckpt = None
             seg2d = None
             if ckpt is not None:
                 print(f"seg2d weights: {ckpt}")

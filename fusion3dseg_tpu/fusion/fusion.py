@@ -159,9 +159,11 @@ def _frame_extent_cells(max_depth: float, radius: float) -> int:
     valid points lie within the caller's depth range of one camera, so the
     pairwise extent is <= 2x that range; 4*max_depth allows callers whose
     validity range reaches past `max_depth` (the engine only uses max_depth
-    for sparse-side culling) before the clamp could distort anything.
-    voxel_merge falls back to the exact 3-key sort when this bound does not
-    fit a packed int32 key (e.g. very small radii)."""
+    for sparse-side culling) up to 2*max_depth. Valid points beyond the
+    bound are DROPPED by the sparsifier (not clamped); Fusion.fuse warns
+    when point_range makes that possible. voxel_merge falls back to the
+    exact 3-key sort when this bound does not fit a packed int32 key
+    (e.g. very small radii)."""
     return int(np.ceil(4.0 * max_depth / radius)) + 3
 
 
@@ -842,6 +844,16 @@ class Fusion:
         self.ds_radius, self.ds_angle = radius, angle
         min_cosine = float(np.cos(np.deg2rad(angle)))
         h, w = self.session.depth_hw
+        if self.point_range is not None and self.point_range[1] > 2 * max_depth:
+            # the packed-sort frame-extent bound is 4*max_depth; a validity
+            # range past 2*max_depth can put valid points outside it, and
+            # the sparsifier DROPS those (ops/sparsify.voxel_merge) rather
+            # than merging distant geometry
+            print(
+                f"warning: point_range max {self.point_range[1]} exceeds "
+                f"2*max_depth = {2 * max_depth}; points beyond the frame-"
+                f"extent bound are dropped by the sparsifier"
+            )
 
         valid = self._valid_mask()
         # start at the first frame with any valid point (fusion.py:236-238)

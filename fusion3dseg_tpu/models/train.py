@@ -240,7 +240,11 @@ def save_train_state(checkpoint_dir, params, opt_state, it: int) -> None:
     flat, _ = jax.tree.flatten(opt_state)
     ckptr.save(d.absolute() / odir, flat, force=True)
     ckptr.wait_until_finished()
-    (d / "step.txt").write_text(str(it))  # commit point
+    # commit point — tmp + os.replace so a mid-write crash can never leave
+    # a truncated step.txt (which would brick --resume)
+    stmp = d / ".step_tmp"
+    stmp.write_text(str(it))
+    os.replace(stmp, d / "step.txt")
     link = d / "params"
     if link.exists() and not link.is_symlink():
         shutil.rmtree(link)  # legacy pre-r3 real directory

@@ -90,9 +90,11 @@ def voxel_merge(
     the same lexicographic order and the 4-operand sort becomes a
     2-operand sort — identical grouping, identical cell numbering, the
     sort is the per-frame cost center at VGA+ resolutions. Falls back to
-    the 3-key sort when the packed key would not fit 31 bits. Points
-    outside the promised extent clamp into boundary voxels (only possible
-    for out-of-contract inputs).
+    the 3-key sort when the packed key would not fit 31 bits. A valid
+    point OUTSIDE the promised extent (an out-of-contract input, e.g. a
+    validity range wider than the bound) is DROPPED — treated as invalid
+    for this merge — rather than clamped into a boundary voxel where it
+    would average with physically distant geometry.
     """
     N = points.shape[0]
     C = 2 * N
@@ -110,9 +112,11 @@ def voxel_merge(
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
     if bits:
+        in_extent = jnp.all(vox < (1 << bits), axis=1)
         vox = jnp.minimum(vox, (1 << bits) - 1)
         packed = (vox[:, 0] << (2 * bits)) | (vox[:, 1] << bits) | vox[:, 2]
-        packed = jnp.where(valid, packed, INT32_MAX)
+        packed = jnp.where(valid & in_extent, packed, INT32_MAX)
+        valid = valid & in_extent
         sp, sidx = jax.lax.sort((packed, ids), num_keys=1)
         newrun = jnp.concatenate(
             [jnp.ones((1,), bool), sp[1:] != sp[:-1]]

@@ -198,6 +198,7 @@ class TestMultiSession:
         w = rng.integers(1, 5, size=N).astype(np.int32)
         occ = rng.integers(1, 9, size=N).astype(np.int32)
         valid = rng.random(N) > 0.2
+        valid[0] = True  # the outlier row below must be dropped, not masked
         args = tuple(jnp.asarray(x) for x in (pts, nrm, clr, w, occ, valid))
 
         ref = voxel_merge(*args, 0.1, 0.9, extent_cells=None)
@@ -207,6 +208,17 @@ class TestMultiSession:
                 np.testing.assert_array_equal(
                     np.asarray(getattr(ref, fld)),
                     np.asarray(getattr(got, fld)), err_msg=f"{fld} @ {ext}")
+
+        # out-of-contract valid point beyond the extent bound: DROPPED
+        # (cell -1), never clamp-merged into boundary geometry
+        pts2 = pts.copy()
+        pts2[0] = [500.0, 0.0, 0.0]
+        args2 = (jnp.asarray(pts2),) + args[1:]
+        g2 = voxel_merge(*args2, 0.1, 0.9, extent_cells=81)
+        assert int(np.asarray(g2.cell_of_input)[0]) == -1
+        # every in-extent point still lands in a cell whose mean it joins
+        live = np.asarray(g2.cell_of_input)[1:][np.asarray(valid)[1:]]
+        assert (live >= 0).all()
 
     def test_append_strategies_agree_and_drop_at_capacity(self):
         """_append_sparsified picks its strategy statically by capacity
