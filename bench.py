@@ -202,7 +202,7 @@ def headline_1m(args, result):
             f"frac {M / args.npts:.3f}, built in {index_build_s:.2f}s")
         log(f"cell buckets: {list(zip(sizes, Ks))}")
         run_cells = tpu_label_fuse_cells(
-            args.npts, args.nclasses, hw, cs, Ks, sizes
+            args.npts, args.nclasses, hw, Ks, sizes
         )
         # permute the frame axis on the host once (a device-side gather
         # of the [F, H*W] masks would cost ~ a frame's scatter)
@@ -333,7 +333,7 @@ def config5_10m(args, result):
     perm, sizes, Ks = plan_window_buckets(
         counts, nbuckets=12, round_to=8, max_window=cell_lists.shape[1]
     )
-    run_cells = tpu_label_fuse_cells(npts, args.nclasses, hw, cs, Ks, sizes)
+    run_cells = tpu_label_fuse_cells(npts, args.nclasses, hw, Ks, sizes)
     dev = (
         jnp.asarray(cells_table), jnp.asarray(cell_lists[perm]),
         jnp.asarray(K, jnp.float32), jnp.asarray(quats[perm]),

@@ -17,6 +17,8 @@ reference's thresholded argmax (voting.py:106-137).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 
@@ -188,7 +190,7 @@ def build_cell_index(points, K, quats, trans, hw, cell_size=256, margin=2e-3):
 
 
 def tpu_label_fuse_cells(
-    npts, nclasses, hw, cs, Ks, sizes, threshold=0.5, use_pallas_hist=None,
+    npts, nclasses, hw, Ks, sizes, threshold=0.5, use_pallas_hist=None,
     id_bits=20,
 ):
     """Cell-culled bucketed label fusion (the 1M-headline fast path).
@@ -196,12 +198,33 @@ def tpu_label_fuse_cells(
     Frames arrive grouped by visible-cell count (plan_window_buckets over
     build_cell_index's counts); each group scans with a right-sized static
     cell count Kb. Per frame: gather Kb [cs, 4] candidate blocks (block
-    gather ~0.2 ns/element), project, drop-invalid packed z-buffer
-    (serialized scatter, the cost floor), winner-row scatter, then one
-    Pallas histogram classify over the concatenated class matrix. Output is
-    bit-identical to tpu_label_fuse (full uncull) because the cell lists are
-    conservative supersets and padding duplicates are z-buffer/vote no-ops.
+    gather ~0.2 ns/element; cs is read off cells_table's shape at trace
+    time), project, drop-invalid packed z-buffer (serialized scatter, the
+    cost floor), winner-row scatter, then one Pallas histogram classify
+    over the concatenated class matrix. Output is bit-identical to
+    tpu_label_fuse (full uncull) because the cell lists are conservative
+    supersets and padding duplicates are z-buffer/vote no-ops.
+
+    The returned jitted callable is cached on the static config, so
+    same-shaped repeat invocations (e.g. two mask sets over one session)
+    reuse the compiled program instead of re-tracing a multi-minute
+    compile.
     """
+    import jax
+
+    if use_pallas_hist is None:
+        use_pallas_hist = jax.devices()[0].platform == "tpu"
+    return _label_fuse_cells_cached(
+        int(npts), int(nclasses), (int(hw[0]), int(hw[1])),
+        tuple(int(k) for k in Ks), tuple(int(s) for s in sizes),
+        float(threshold), bool(use_pallas_hist), int(id_bits),
+    )
+
+
+@lru_cache(maxsize=32)
+def _label_fuse_cells_cached(
+    npts, nclasses, hw, Ks, sizes, threshold, use_pallas_hist, id_bits
+):
     import jax
     import jax.numpy as jnp
 
@@ -213,8 +236,6 @@ def tpu_label_fuse_cells(
     h, w = hw
     INVALID = 255
     NSUB = -(-npts // (1 << id_bits))
-    if use_pallas_hist is None:
-        use_pallas_hist = jax.devices()[0].platform == "tpu"
     TILE_N = 512
     npad = -(-npts // TILE_N) * TILE_N if use_pallas_hist else npts
 
@@ -308,7 +329,7 @@ def label_fuse_session(points, K, quats, trans, masks, hw, nclasses=133,
         max_window=cell_lists.shape[1],
     )
     run = tpu_label_fuse_cells(
-        len(points), nclasses, hw, cells_table.shape[1], Ks, sizes,
+        len(points), nclasses, hw, Ks, sizes,
         threshold=threshold, id_bits=id_bits,
     )
     perm = np.asarray(perm)
@@ -483,46 +504,6 @@ def tpu_label_fuse_culled(npts, nclasses, hw, M, threshold=0.5):
 
         _, C = jax.lax.scan(step, None, (starts, quats, trans, masks))
         return _histogram_classify(C, nclasses, threshold)
-
-    return run
-
-
-
-
-def culled_class_matrix(npts, hw, M):
-    """Jitted C-matrix producer for one window size: the culled scan WITHOUT
-    the final histogram, so frames grouped by window size can run in
-    separate right-sized scans and classify together (window-size bucketing,
-    docs/ROADMAP.md #3). Returns fn(...) -> C [F, npts] uint8."""
-    import jax
-    import jax.numpy as jnp
-
-    from fusion3dseg_tpu.geometry import camera
-    from fusion3dseg_tpu.ops.zbuffer import INT32_MAX, packed_pmin
-
-    h, w = hw
-    ID_BITS = 20
-    assert npts < (1 << ID_BITS)
-
-    @jax.jit
-    def run(points_ext, ids_ext, starts, K, quats, trans, masks):
-        def step(_, frame):
-            start, q, t, mask = frame
-            pts = jax.lax.dynamic_slice(points_ext, (start, 0), (M, 3))
-            ids = jax.lax.dynamic_slice(ids_ext, (start,), (M,))
-            u, v, z = camera.project_points(pts, K, q, t)
-            pmin = packed_pmin(u, v, z, ids, jnp.ones_like(z, bool), h, w,
-                               id_bits=ID_BITS)
-            win_id = pmin & ((1 << ID_BITS) - 1)
-            has = pmin != INT32_MAX
-            row = jnp.full((npts,), 255, jnp.uint8)
-            row = row.at[jnp.where(has, win_id, npts)].set(
-                mask.astype(jnp.uint8), mode="drop"
-            )
-            return None, row
-
-        _, C = jax.lax.scan(step, None, (starts, quats, trans, masks))
-        return C
 
     return run
 

@@ -112,9 +112,30 @@ def voxel_merge(
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
     if bits:
-        in_extent = jnp.all(vox < (1 << bits), axis=1)
-        vox = jnp.minimum(vox, (1 << bits) - 1)
-        packed = (vox[:, 0] << (2 * bits)) | (vox[:, 1] << bits) | vox[:, 2]
+        # Out-of-contract robustness: the grid anchors at the valid-point
+        # min corner, so one stray valid point at the min corner would
+        # otherwise push the whole in-contract bulk past the extent bound
+        # and mass-drop it (keeping only the outlier). When — and only
+        # when — an axis overflows the bound, recentre that axis' window
+        # on the integer mean of the valid voxel coords (bulk-dominated);
+        # the shift is a whole number of cells, so grouping and ordering
+        # are unchanged, and for in-contract inputs the shift is 0 —
+        # bit-identical to the 3-key path.
+        nvalid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        vmean = jnp.clip(
+            jnp.sum(jnp.where(valid[:, None], vox, 0).astype(jnp.float32),
+                    axis=0) / nvalid,
+            0, float(1 << 30),
+        ).astype(jnp.int32)
+        vmax = jnp.max(jnp.where(valid[:, None], vox, 0), axis=0)
+        shift = jnp.where(
+            vmax < (1 << bits), 0,
+            jnp.maximum(vmean - (1 << (bits - 1)), 0),
+        )
+        rel = vox - shift[None, :]
+        in_extent = jnp.all((rel >= 0) & (rel < (1 << bits)), axis=1)
+        rel = jnp.clip(rel, 0, (1 << bits) - 1)
+        packed = (rel[:, 0] << (2 * bits)) | (rel[:, 1] << bits) | rel[:, 2]
         packed = jnp.where(valid & in_extent, packed, INT32_MAX)
         valid = valid & in_extent
         sp, sidx = jax.lax.sort((packed, ids), num_keys=1)
@@ -151,7 +172,6 @@ def voxel_merge(
     secondary = (agree <= min_cosine) & valid
 
     seg = jnp.where(seg0 < N, seg0 * 2 + secondary.astype(jnp.int32), C)
-    w = weights.astype(jnp.float32)
 
     # one fused [N,11] row scatter instead of five separate segment_sums
     # (scatter passes serialize per update — docs/DESIGN.md). The occurrence

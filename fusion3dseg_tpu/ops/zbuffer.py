@@ -98,6 +98,14 @@ def packed_pmin(
     npix = height * width
     ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
     zq = jnp.clip(z * scale, 0, (1 << z_bits) - 1).astype(jnp.int32)
+    if z_bits == 31 - id_bits:
+        # the all-ones id at the top depth bin would pack to exactly
+        # INT32_MAX and alias the empty-pixel sentinel (the point would
+        # silently lose every pixel it wins); nudge that ONE id's top bin
+        # down — a sub-bin far-plane deviation in documented quantization
+        # tie-break territory
+        top = (1 << id_bits) - 1
+        zq = jnp.where(ids == top, jnp.minimum(zq, (1 << z_bits) - 2), zq)
     if drop_invalid:
         pix = jnp.where(ok, v * width + u, 2 * npix)
         buf = jnp.full((npix,), INT32_MAX, jnp.int32)
@@ -141,7 +149,15 @@ def packed_pmin_gid_sharded(
     ok = valid & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
     pix = v * width + u
     zq = jnp.clip(z * scale, 0, (1 << z_bits) - 1).astype(jnp.int32)
-    packed_ok = (zq << id_bits) | (gids & ((1 << id_bits) - 1))
+    lows = gids & ((1 << id_bits) - 1)
+    if z_bits == 31 - id_bits:
+        # same sentinel-alias guard as packed_pmin: a sub-range's all-ones
+        # low id at the top depth bin must not pack to INT32_MAX
+        zq = jnp.where(
+            lows == (1 << id_bits) - 1,
+            jnp.minimum(zq, (1 << z_bits) - 2), zq,
+        )
+    packed_ok = (zq << id_bits) | lows
     if drop_invalid:
         seg = jnp.where(ok, (gids >> id_bits) * npix + pix, 2 * nsub * npix)
         buf = jnp.full((nsub * npix,), INT32_MAX, jnp.int32)

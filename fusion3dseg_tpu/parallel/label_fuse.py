@@ -45,7 +45,6 @@ def label_fuse_sharded(
     """Returns classes [N] sharded over `axis` (same values as the
     single-chip ops/label_fuse path up to identical spec)."""
     h, w = hw
-    HW = h * w
     npts = points.shape[0]
     ndev = mesh.shape[axis]
     assert npts % ndev == 0, f"npts {npts} % {ndev} devices != 0"
@@ -115,7 +114,6 @@ def label_fuse_sharded_points(
     tie-break (ties require exactly equal 4.9 mm-quantized depth).
     """
     h, w = hw
-    HW = h * w
     npts = points.shape[0]
     ndev = mesh.shape[axis]
     assert npts % ndev == 0
@@ -244,15 +242,25 @@ def label_fuse_sharded_cells(
     ndev = mesh.shape[axis]
     NC, cs, _ = cells_table.shape
     NCd = NC // ndev
-    F = quats.shape[0]
     Kmax = dev_lists.shape[2]
     LB = max(1, int(Kmax * cs - 1).bit_length())
-    assert LB <= 25, f"per-frame candidate volume {Kmax * cs} too wide"
+    # LB > 20 would silently shrink packed_pmin's depth quantization below
+    # the pinned z-buffer spec (max_depth / 2^11); cap it instead — shrink
+    # cell_size or add devices to narrow the per-frame candidate volume
+    assert LB <= 20, (
+        f"per-frame candidate volume {Kmax * cs} needs {LB} id bits; > 20 "
+        f"would degrade z-buffer depth resolution below the spec"
+    )
     local_rows = NCd * cs
 
-    cells_dev = jnp.asarray(np.asarray(cells_table, np.float32).reshape(
-        ndev, NCd, cs, 4
-    ))
+    # stage once, accept already-device-resident inputs (np.asarray on a
+    # jax array would force a D2H round trip through the tunnel)
+    if isinstance(cells_table, jax.Array):
+        cells_dev = cells_table.astype(jnp.float32).reshape(ndev, NCd, cs, 4)
+    else:
+        cells_dev = jnp.asarray(
+            np.asarray(cells_table, np.float32).reshape(ndev, NCd, cs, 4)
+        )
     dev_lists = jnp.asarray(dev_lists)
     valid_slots = jnp.asarray(valid_slots)
 

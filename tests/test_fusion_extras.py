@@ -220,6 +220,16 @@ class TestMultiSession:
         live = np.asarray(g2.cell_of_input)[1:][np.asarray(valid)[1:]]
         assert (live >= 0).all()
 
+        # a MIN-corner outlier corrupts the grid anchor; the recentre must
+        # keep the in-contract bulk (and drop the outlier), not the inverse
+        pts3 = pts.copy()
+        pts3[0] = [-500.0, -500.0, -500.0]
+        args3 = (jnp.asarray(pts3),) + args[1:]
+        g3 = voxel_merge(*args3, 0.1, 0.9, extent_cells=81)
+        assert int(np.asarray(g3.cell_of_input)[0]) == -1
+        live3 = np.asarray(g3.cell_of_input)[1:][np.asarray(valid)[1:]]
+        assert (live3 >= 0).all()
+
     def test_append_strategies_agree_and_drop_at_capacity(self):
         """_append_sparsified picks its strategy statically by capacity
         (scatter <= 2^18 < staged).  The two must write identical rows for

@@ -270,7 +270,7 @@ class TestBucketed:
                 max_window=cell_lists.shape[1],
             )
             run_c = label_fuse.tpu_label_fuse_cells(
-                len(pts), 10, hw, cells_table.shape[1], Ks, sizes,
+                len(pts), 10, hw, Ks, sizes,
                 id_bits=id_bits,
             )
             (tot_c, vmax_c), c_cells = run_c(

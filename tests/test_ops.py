@@ -39,6 +39,37 @@ class TestZBuffer:
         )
         assert (np.asarray(uv2pt) == -1).all()
 
+    def test_allones_id_at_far_plane_never_aliases_sentinel(self):
+        """The all-ones id at the top depth bin would pack to exactly
+        INT32_MAX (the empty-pixel sentinel) and silently lose every pixel
+        it wins; the guard nudges that one id's top bin down. Applies to
+        packed_pmin (ids == 2^id_bits - 1 only reachable from gid-sharded
+        callers / LB-wide slot spaces) and packed_pmin_gid_sharded (last
+        local id of EVERY sub-range)."""
+        top = (1 << 20) - 1
+        one = jnp.asarray([0]), jnp.asarray([0]), jnp.asarray([99.0])
+        valid = jnp.asarray([True])
+
+        pmin = np.asarray(zbuffer.packed_pmin(
+            *one, jnp.asarray([top]), valid, 2, 2, id_bits=20))
+        assert pmin[0] != zbuffer.INT32_MAX
+        assert pmin[0] & top == top  # the id survives the nudge
+
+        for gid in (top, (1 << 21) - 1):  # sub 0 and sub 1 all-ones lows
+            pm = np.asarray(zbuffer.packed_pmin_gid_sharded(
+                *one, jnp.asarray([gid]), valid, 2, 2, nsub=2, id_bits=20))
+            s = gid >> 20
+            assert pm[s, 0] != zbuffer.INT32_MAX
+            assert (pm[s, 0] & top) + (s << 20) == gid
+
+        # a nearer competitor still beats the nudged far point
+        u = jnp.asarray([0, 0]); v = jnp.asarray([0, 0])
+        z = jnp.asarray([99.0, 1.0])
+        pmin = np.asarray(zbuffer.packed_pmin(
+            u, v, z, jnp.asarray([top, 5]), jnp.asarray([True, True]),
+            2, 2, id_bits=20))
+        assert pmin[0] & top == 5
+
 
 class TestVoting:
     def _mk(self, rng, npts=50, nc=10, F=6, npix=100):
