@@ -87,14 +87,15 @@ def _append_sparsified(
     #   frame, not O(updates) — fine at small capacities, 4.1+3.8
     #   ms/frame at 1M (r3 profile).
     # - staged: appends land in the contiguous range [n, n+total_new), so
-    #   stage-compact the rows into SMALL [C,*] buffers and commit with
+    #   stage-compact the rows into SMALL [S,*] buffers and commit with
     #   dynamic_update_slice at offset n (vectorized copies). The slice
-    #   writes staging zeros into [n+total_new, n+C) — slots not yet
+    #   writes staging zeros into [n+total_new, n+S) — slots not yet
     #   live, rewritten by the exact slice that makes them live before
-    #   any read. A lax.cond falls back to the scatter path when n + C
-    #   would cross capacity, preserving drop-at-capacity semantics; the
-    #   cond is also why small capacities avoid this path (it blocks
-    #   carry donation and costs ~12% there).
+    #   any read. A lax.cond falls back to the scatter path when n + S
+    #   would cross capacity or a seed-scale frame appends more than S
+    #   cells, preserving drop-at-capacity semantics; the cond is also
+    #   why small capacities avoid this path (it blocks carry donation
+    #   and costs ~12% there).
     def scatter_append(_):
         combined = jnp.concatenate(
             [state.points, state.normals, state.colors], axis=1
@@ -111,15 +112,24 @@ def _append_sparsified(
         return (combined[:, 0:3], combined[:, 3:6], combined[:, 6:9],
                 counters[:, 0], counters[:, 1])
 
-    if capacity <= max(C, 1 << 18):
+    if capacity <= (1 << 18):
         points, normals, colors, nmerges, occ = scatter_append(None)
     else:
-        rank = jnp.where(write, dest_rank, C)
-        stage_f = jnp.zeros((C, 9), jnp.float32).at[rank].set(
+        # staging-buffer budget: the slice commit writes S rows, so the
+        # cond must fall back once n + S would cross capacity. Using the
+        # padded sparsify size C (= 2*H*W) here would disable the fast
+        # path for the last 2*H*W slots of fill — ~60% of a 1M buffer at
+        # VGA — so stage into a smaller S and ALSO fall back in the (rare:
+        # seed-scale frames append a few k cells) case total_new > S;
+        # ranks >= S drop from staging, which is safe exactly because that
+        # same cond routes those frames to the scatter path.
+        S = min(C, 1 << 16)
+        rank = jnp.where(write, dest_rank, S)
+        stage_f = jnp.zeros((S, 9), jnp.float32).at[rank].set(
             jnp.concatenate([sp.points, sp.normals, sp.colors], axis=1),
             mode="drop",
         )
-        stage_i = jnp.zeros((C, 2), jnp.int32).at[rank].set(
+        stage_i = jnp.zeros((S, 2), jnp.int32).at[rank].set(
             jnp.stack([sp.counts, jnp.ones_like(sp.counts)], axis=1),
             mode="drop",
         )
@@ -145,7 +155,8 @@ def _append_sparsified(
             )
 
         points, normals, colors, nmerges, occ = jax.lax.cond(
-            state.n + C <= capacity, staged_append, scatter_append, None
+            (state.n + S <= capacity) & (total_new <= S),
+            staged_append, scatter_append, None,
         )
     n = jnp.minimum(state.n + total_new, capacity)
 
@@ -296,10 +307,12 @@ def _fuse_frame(
     # pixel-bounds visibility — so the full-capacity projection the old
     # path ran just to pick the window is gone (it cost ~1.4 ms/frame in
     # matmul passes plus ~4.7 ms/frame in [cap,3] layout-conversion
-    # copies at 1M capacity; r3 profile). Superset semantics keep the
-    # exactness property: window >= the visible span still reproduces the
-    # unwindowed merge, since the true span is contained in the frustum
-    # span.
+    # copies at 1M capacity; r3 profile). Superset semantics: window >=
+    # the visible span covers every candidate the unwindowed merge would
+    # consider (the true span is contained in the frustum span) — the
+    # merge matches it up to depth-quantization granularity, since
+    # id_bits tracks W, not capacity, so zbits and hence near-tie
+    # winners can differ (test bar: 99% agreement).
     W = capacity if (window is None or window >= capacity) else int(window)
     if W < capacity:
         vis = jnp.where(inter, slot_ids, capacity)
@@ -683,6 +696,12 @@ def fuse_session_checkpointed(
     for f in sorted(ckpt_dir.glob("uv2pt_*.npy")):
         rows.append(np.load(f))
     uv2pt = np.concatenate(rows, axis=0) if rows else np.zeros((0,), np.int32)
+    # a crash between a chunk's uv2pt save and its _commit leaves a stale
+    # file past the committed frame count; trim so the returned rows never
+    # cover frames the returned state has not fused (`nxt` is the frame
+    # count of the LAST commit — this run's, or the resume marker's when
+    # max_chunks caps the run at zero chunks)
+    uv2pt = uv2pt[:nxt]
     return state, uv2pt
 
 
@@ -695,6 +714,7 @@ def fuse_session_checkpointed(
 def fuse_sessions_batch(
     Ks, quats_wxyz, translations, points, normals, colors, valid,
     *, height, width, radius, min_cosine, max_depth, capacity,
+    candidate_px: int = 1, window: Optional[int] = None,
 ):
     """Fuse a BATCH of sessions in one program (vmap over the session axis).
 
@@ -702,10 +722,14 @@ def fuse_sessions_batch(
     frame data [S,F,HW,...]. Sessions fuse independently and concurrently —
     the multi-session scaling axis of BASELINE config 5 (each session's scan
     runs under vmap; shard the session axis over a mesh for multi-chip).
-    Returns (FusionState with leading S axis, uv2pt [S, F, HW]).
+    `window`/`candidate_px` forward to fuse_session (one static window for
+    all sessions — without it, large-capacity batches would silently run
+    the ~3x-slower unwindowed merge). Returns (FusionState with leading S
+    axis, uv2pt [S, F, HW]).
     """
     kw = dict(height=height, width=width, radius=radius,
-              min_cosine=min_cosine, max_depth=max_depth, capacity=capacity)
+              min_cosine=min_cosine, max_depth=max_depth, capacity=capacity,
+              candidate_px=candidate_px, window=window)
     return jax.vmap(lambda *a: fuse_session(*a, **kw))(
         Ks, quats_wxyz, translations, points, normals, colors, valid
     )

@@ -237,7 +237,10 @@ def scatter_argmin_by_segment(
     vmin = jax.ops.segment_min(values, segment_ids, num_segments=num_segments)
     n = values.shape[0]
     ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    winner = values <= vmin[segment_ids]
+    # a segment whose members are ALL +inf has no winner (inf <= inf would
+    # otherwise elect one) — callers mask already-taken entries with inf
+    # and rely on the empty -> INT32_MAX contract
+    winner = (values <= vmin[segment_ids]) & jnp.isfinite(values)
     return jax.ops.segment_min(
         jnp.where(winner, ids, INT32_MAX), segment_ids, num_segments=num_segments
     )

@@ -217,9 +217,16 @@ def fuse_session_spatial_sharded(
     against the WHOLE distributed buffer — the scan semantics match the
     single-chip engine up to candidate tie-breaks at equal quantized depth,
     and no statistical reconciliation step exists.
+
+    MAINTENANCE: step() deliberately mirrors fusion._fuse_frame stage by
+    stage (window selection, dual-candidate z-buffer, merge, leftover
+    append) with collectives spliced between stages; the stages cannot
+    share code without entangling the single-chip step with the mesh, so
+    optimizations/spec changes to _fuse_frame must be ported here (the r3
+    frustum-only window + drop-route reworks were missed at first and
+    back-ported by review).
     """
     ndev = mesh.shape[axis]
-    F = quats_wxyz.shape[0]
     half = candidate_px
     gh = -(-height // half)
     gw = -(-width // half)
@@ -267,49 +274,57 @@ def fuse_session_spatial_sharded(
             slot_ids = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
             active = slot_ids < state.n
 
-            # 1-2. cull + project MY slots
+            # 1-2. cull MY slots; window selection from the frustum test
+            # ALONE, then project only the window slice (the single-chip
+            # step's frustum-only rework — the full-capacity projection
+            # cost ~1.4 ms/frame in matmuls + ~4.7 ms/frame in [cap,3]
+            # layout copies at 1M slots; fusion/fusion.py step 1-2)
             plane_pts, plane_ns = camera.frustum_world_planes(
                 K_l, width, height, q, t, max_depth
             )
             inter = intersections.points_inside_polyhedra(
                 state.points, plane_pts, plane_ns
             ) & active
-            u, v, z = camera.project_points(state.points, K_l, q, t)
-            ok = inter & (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
 
             if W < capacity:
-                vis = jnp.where(ok, slot_ids, capacity)
+                vis = jnp.where(inter, slot_ids, capacity)
                 minv = jnp.min(vis)
-                maxv = jnp.max(jnp.where(ok, slot_ids, -1))
+                maxv = jnp.max(jnp.where(inter, slot_ids, -1))
                 w0 = jnp.clip(jnp.maximum(minv, maxv - W + 1), 0, capacity - W)
                 pts_w = jax.lax.dynamic_slice(state.points, (w0, 0), (W, 3))
                 nrm_w = jax.lax.dynamic_slice(state.normals, (w0, 0), (W, 3))
-                u_w = jax.lax.dynamic_slice(u, (w0,), (W,))
-                v_w = jax.lax.dynamic_slice(v, (w0,), (W,))
-                z_w = jax.lax.dynamic_slice(z, (w0,), (W,))
-                ok_w = jax.lax.dynamic_slice(ok, (w0,), (W,))
+                inter_w = jax.lax.dynamic_slice(inter, (w0,), (W,))
             else:
                 w0 = jnp.int32(0)
                 pts_w, nrm_w = state.points, state.normals
-                u_w, v_w, z_w, ok_w = u, v, z, ok
+                inter_w = inter
+            u_w, v_w, z_w = camera.project_points(pts_w, K_l, q, t)
+            ok_w = inter_w & (z_w > 0) & (u_w >= 0) & (u_w < width) \
+                & (v_w >= 0) & (v_w < height)
 
             # 3a. per-device packed z-buffer into the cell grid, then ONE
             # pmin for the global nearest candidate, one more for the
             # second (same dual-candidate spec as the single-chip step)
-            cell = jnp.where(ok_w, (v_w // half) * gw + (u_w // half), ncells)
+            # drop-route culled slots (OOB cell + mode="drop") instead of a
+            # shared trash segment — one hot segment serializes its RMW
+            # chain (docs/DESIGN.md; same rework as the single-chip step)
+            cell = (v_w // half) * gw + (u_w // half)
             lw = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
             zq = jnp.clip(
                 z_w * ((1 << zbits) / max_depth), 0, (1 << zbits) - 1
             ).astype(jnp.int32)
-            packed = jnp.where(ok_w, (zq << bits) | (rank * W + lw), INT32_MAX)
-            pmin1 = jax.ops.segment_min(packed, cell, num_segments=ncells + 1)[:ncells]
+            packed = (zq << bits) | (rank * W + lw)
+            cell_drop = jnp.where(ok_w, cell, 2 * ncells)
+            pmin1 = jnp.full((ncells,), INT32_MAX, jnp.int32).at[cell_drop].min(
+                packed, mode="drop"
+            )
             gmin1 = jax.lax.pmin(pmin1, axis)
             cell_safe = jnp.clip(cell, 0, ncells - 1)
             is_winner = ok_w & (packed == gmin1[cell_safe])
-            pmin2 = jax.ops.segment_min(
-                jnp.where(is_winner, INT32_MAX, packed), cell,
-                num_segments=ncells + 1,
-            )[:ncells]
+            cell2_drop = jnp.where(is_winner, 2 * ncells, cell_drop)
+            pmin2 = jnp.full((ncells,), INT32_MAX, jnp.int32).at[cell2_drop].min(
+                packed, mode="drop"
+            )
             gmin2 = jax.lax.pmin(pmin2, axis)
 
             def extract(g):
@@ -340,16 +355,19 @@ def fuse_session_spatial_sharded(
 
             # 4. merge MY matched pixels into my windowed slice (the same
             # fused [P,10] row-scatter as the single-chip step)
+            # other-device matches and unmatched pixels drop-route (index W
+            # is OOB for the [W,10] buffer) instead of accumulating into a
+            # hot trash row — nearly all of H*W updates land there on an
+            # ndev-device mesh (docs/DESIGN.md hot-segment serialization)
             mine = matched & ((match_wid // W) == rank)
             mseg = jnp.where(mine, match_wid % W, W)
-            mw = mine.astype(jnp.float32)
-            acc = jax.ops.segment_sum(
+            acc = jnp.zeros((W, 10), jnp.float32).at[mseg].add(
                 jnp.concatenate(
-                    [mw[:, None], fp * mw[:, None], fc * mw[:, None],
-                     fn * mw[:, None]], axis=1,
+                    [jnp.ones((fp.shape[0], 1), jnp.float32), fp, fc, fn],
+                    axis=1,
                 ),
-                mseg, num_segments=W + 1,
-            )[:W]
+                mode="drop",
+            )
             cnt, spt, scl, snr = acc[:, 0], acc[:, 1:4], acc[:, 4:7], acc[:, 7:10]
             if W < capacity:
                 clr_w = jax.lax.dynamic_slice(state.colors, (w0, 0), (W, 3))
