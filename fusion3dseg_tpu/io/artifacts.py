@@ -92,6 +92,12 @@ def save_uv2pt(dirname, frame_name: str, uv2pt: np.ndarray) -> None:
 def save_uv2pt_batch(dirname, frame_names, uv2pt_batch) -> None:
     out = Path(dirname) / "fusion" / "uv2pt"
     out.mkdir(parents=True, exist_ok=True)
+    # this writer emits the WHOLE session: clear stale files from any
+    # previous run first (a different frame set / larger cloud would
+    # otherwise leave rows that index past the new cloud, and
+    # apply_min_occ / vote_session consume every *.npy in the directory)
+    for stale in out.glob("*.npy"):
+        stale.unlink()
     uv2pt_batch = np.asarray(uv2pt_batch, np.int32)
     for name, uv in zip(frame_names, uv2pt_batch):
         np.save(out / f"{name}.npy", uv)

@@ -66,6 +66,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
     except AttributeError:  # stale .so from before the symbol existed
         pass
+    try:
+        lib.components_from_csr.restype = ctypes.c_int
+        lib.components_from_csr.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -199,4 +208,33 @@ def components_from_adjacency(adj, labels=None):
     )
     if rc != 0:
         raise RuntimeError(f"components_from_adjacency failed rc={rc}")
+    return out
+
+
+def components_from_csr(offsets, flat, labels=None):
+    """[N] int32 component roots over a ragged CSR adjacency (neighbors of
+    i = flat[offsets[i]:offsets[i+1]]) — same weakly-connected min-root
+    semantics as components_from_adjacency without densifying to
+    [N, max_degree]. Returns None when the library/symbol is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "components_from_csr"):
+        return None
+    off = np.ascontiguousarray(np.asarray(offsets, np.int32))
+    fl = np.ascontiguousarray(np.asarray(flat, np.int32))
+    n = len(off) - 1
+    if n <= 0:
+        return np.empty(0, np.int32)
+    out = np.empty(n, np.int32)
+    lab_ptr = None
+    if labels is not None:
+        lab = np.ascontiguousarray(np.asarray(labels, np.int32))
+        lab_ptr = lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.components_from_csr(
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, lab_ptr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"components_from_csr failed rc={rc}")
     return out

@@ -111,7 +111,10 @@ def read_point_cloud(path) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[n
     colors = None
     if "red" in names:
         colors = np.stack([rec["red"], rec["green"], rec["blue"]], -1)
-        colors = colors.astype(np.float32) / (255.0 if colors.dtype != np.float32 else 1.0)
+        # integer color properties (uchar/ushort/...) are 0-255; float and
+        # double properties (CloudCompare/MeshLab exports) are already 0-1
+        scale = 255.0 if np.issubdtype(colors.dtype, np.integer) else 1.0
+        colors = colors.astype(np.float32) / scale
     normals = None
     if "nx" in names:
         normals = np.stack([rec["nx"], rec["ny"], rec["nz"]], -1).astype(np.float32)

@@ -86,10 +86,15 @@ def _normals_from_grid(points_cam: jax.Array) -> jax.Array:
 
     Central differences along the pixel grid, n = du x dv, normalized, then
     flipped so normals point toward the camera eye (origin in camera frame) —
-    the reference's flip rule (ios_rtab.py:243-247).
+    the reference's flip rule (ios_rtab.py:243-247). Borders use one-sided
+    differences via edge-replicate padding: a plain roll would difference
+    against the OPPOSITE image edge (geometrically unrelated points), and
+    the garbage border normals then spuriously fail the fusion engine's
+    normal-cone gate along the 1-px frame boundary.
     """
-    du = jnp.roll(points_cam, -1, axis=1) - jnp.roll(points_cam, 1, axis=1)
-    dv = jnp.roll(points_cam, -1, axis=0) - jnp.roll(points_cam, 1, axis=0)
+    p = jnp.pad(points_cam, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    du = p[1:-1, 2:] - p[1:-1, :-2]
+    dv = p[2:, 1:-1] - p[:-2, 1:-1]
     n = jnp.cross(du, dv)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     toward_eye = jnp.sum(n * points_cam, axis=-1, keepdims=True) > 0
@@ -184,12 +189,22 @@ class SessionData:
         img_idx, xyz, xyzw, _ = read_poses(pose_file, startf, stopf)
         img_idx, xyz, xyzw = img_idx[::stepf], xyz[::stepf], xyzw[::stepf]
 
-        rgbs, depths = [], []
-        for i in img_idx:
-            rgb = cv2.imread(str(rgb_dir / f"{int(i)}.jpg"))[:, :, ::-1]
+        rgbs, depths, keep = [], [], []
+        for k, i in enumerate(img_idx):
+            rgb = cv2.imread(str(rgb_dir / f"{int(i)}.jpg"))
             d = cv2.imread(str(depth_dir / f"{int(i)}.png"), cv2.IMREAD_UNCHANGED)
-            rgbs.append(rgb)
+            if rgb is None or d is None:
+                # real exports drop frames (io/tum.py guards the same way);
+                # skip the frame AND its pose rather than crash ingestion
+                print(f"warning: skipping frame {int(i)} — unreadable "
+                      f"rgb/depth image")
+                continue
+            rgbs.append(rgb[:, :, ::-1])
             depths.append(d)
+            keep.append(k)
+        if len(keep) != len(img_idx):
+            img_idx = img_idx[keep]
+            xyz, xyzw = xyz[keep], xyzw[keep]
         rgbs = np.stack(rgbs)
         depths = np.stack(depths).astype(np.float32)
         if padding:

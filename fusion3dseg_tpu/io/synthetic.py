@@ -60,12 +60,25 @@ class SyntheticSession:
 
 
 def _look_rotation(forward: np.ndarray, up=np.array([0.0, 1.0, 0.0])) -> np.ndarray:
-    """Camera->world rotation whose +z maps to `forward` (columns = axes)."""
+    """Camera->world rotation whose +z maps to `forward` (columns = axes).
+
+    KNOWN DEVIATION (r3 review): these columns give a camera rolled 180°
+    relative to the upright CV convention (y_cam maps to world UP, but the
+    pinhole back-projection's v axis increases downward) — equivalent to
+    capturing with an upside-down-mounted camera. Every consumer in this
+    repo is self-consistent (renders, poses, back-projection and fusion all
+    agree; parity/mIoU numbers are unaffected), but the 2D model's LEARNED
+    spatial prior (floors at image top) is inverted relative to real
+    upright captures. Fixing it means r = normalize(f x up), d = f x r,
+    columns [r, d, f] — deliberately NOT changed mid-round because the
+    shipped B1 checkpoint was trained under this convention and retraining
+    needs the TPU (down at review time); flip + retrain + re-ship together
+    (docs/ROADMAP.md)."""
     f = forward / np.linalg.norm(forward)
     r = np.cross(up, f)
     r = r / np.linalg.norm(r)
     u = np.cross(f, r)
-    return np.stack([r, u, f], axis=1)  # columns: x=right, y=down-ish? up, z=fwd
+    return np.stack([r, u, f], axis=1)
 
 
 def _mat_to_quat_wxyz(R: np.ndarray) -> np.ndarray:

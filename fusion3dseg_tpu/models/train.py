@@ -102,6 +102,9 @@ def synthetic_dataset(
 
     rng = np.random.default_rng(seed)
     h, w = hw
+    # a session must hold at least one full batch, or the yield loop below
+    # is empty and the generator would spin raycasting rooms forever
+    nframes_per_session = max(nframes_per_session, batch_size)
     while True:
         sess = synthetic.make_session(
             nframes=nframes_per_session,

@@ -158,15 +158,30 @@ def split_into_instances(
 
     # One pass labels every class's components at once: native union-find
     # on host when available, else the device min-label propagation.
+    # `adj` may also be a ragged CSR pair (offsets [N+1], flat) — the
+    # stored per-point adjacency lists are ragged, and densifying to the
+    # single densest point's degree costs O(N) host passes plus an
+    # [N, max_degree] table (review finding r3).
+    is_csr = isinstance(adj, tuple) and len(adj) == 2
     labels = None
     if backend in ("auto", "native"):
         from fusion3dseg_tpu.io import native
 
-        labels = native.components_from_adjacency(
-            np.asarray(adj), classes.astype(np.int32)
-        )
+        if is_csr:
+            labels = native.components_from_csr(
+                adj[0], adj[1], classes.astype(np.int32)
+            )
+        else:
+            labels = native.components_from_adjacency(
+                np.asarray(adj), classes.astype(np.int32)
+            )
         if labels is None and backend == "native":
-            raise RuntimeError("native components_from_adjacency unavailable")
+            raise RuntimeError("native components unavailable")
+    if is_csr and labels is None:
+        # device fallback needs the dense form; vectorized densify
+        from fusion3dseg_tpu.ops import neighbors as _nb
+
+        adj = _nb.csr_to_adjacency(adj[0], adj[1])
     if labels is None:
         # symmetrize so directed min-label propagation matches union-find's
         # undirected components on degree-capped adjacencies

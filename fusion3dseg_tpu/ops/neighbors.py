@@ -258,3 +258,37 @@ def lists_to_adjacency(lists, k: int) -> "object":
         row = np.asarray(list(row), np.int32)[:k]
         adj[i, : len(row)] = row
     return adj
+
+
+def lists_to_csr(lists):
+    """Ragged adjacency lists -> CSR (offsets [N+1] int32, flat int32).
+
+    One C-level concatenate instead of a per-row Python densify; pairs with
+    io/native.components_from_csr so the instance split never materializes
+    an [N, max_degree] table sized by the single densest point."""
+    import numpy as np
+
+    lengths = np.fromiter((len(r) for r in lists), np.int64, count=len(lists))
+    offsets = np.zeros(len(lists) + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = (np.concatenate([np.asarray(r, np.int32) for r in lists])
+            if len(lists) else np.empty(0, np.int32))
+    assert offsets[-1] < np.iinfo(np.int32).max
+    return offsets.astype(np.int32), flat.astype(np.int32)
+
+
+def csr_to_adjacency(offsets, flat):
+    """CSR -> fixed-degree [N, max_degree] int32 (-1 padded), vectorized."""
+    import numpy as np
+
+    offsets = np.asarray(offsets, np.int64)
+    flat = np.asarray(flat, np.int32)
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    k = int(lengths.max()) if n else 0
+    adj = np.full((n, max(k, 1)), -1, np.int32)
+    # row-major positions of every edge in the padded table
+    rows = np.repeat(np.arange(n), lengths)
+    cols = (np.arange(len(flat)) - np.repeat(offsets[:-1], lengths))
+    adj[rows, cols] = flat
+    return adj

@@ -27,7 +27,11 @@ import numpy as np
 from fusion3dseg_tpu.io import artifacts, ply
 from fusion3dseg_tpu.utils import palette as pal
 
-DOOR_WINDOW_CATEGORIES = (86, 115, 116)  # reference door_window_bbox.py:72
+# door-stuff / window-blind / window-other in THIS repo's COCO-133 label
+# space (utils/taxonomy.py). The reference's list is [86, 115, 116]
+# (door_window_bbox.py:72) in its own shifted space — copying those ids
+# verbatim would skip window-blind (114 here) and quad tree-merged (116).
+DOOR_WINDOW_CATEGORIES = (86, 114, 115)
 
 
 def points_in_triangles(points: np.ndarray, tri: np.ndarray) -> np.ndarray:

@@ -200,7 +200,16 @@ def SegmentImage(
     with timing.span("seg2d.inference", verbose=verbose, frames=len(images)):
         for i in range(0, len(images), batch_size):
             chunk = images[i : i + batch_size]
-            ims = [cv2.imread(p)[:, :, ::-1] for p in chunk]
+            loaded = [(p, cv2.imread(p)) for p in chunk]
+            bad = [p for p, im in loaded if im is None]
+            if bad:
+                # skip unreadable frames instead of crashing the stage
+                # mid-batch and losing every already-written mask
+                print(f"warning: skipping unreadable image(s): {bad}")
+            chunk = [p for p, im in loaded if im is not None]
+            ims = [im[:, :, ::-1] for _, im in loaded if im is not None]
+            if not ims:
+                continue
             hw0 = ims[0].shape[:2]
             batch = np.stack(
                 [im if im.shape[:2] == hw0 else cv2.resize(im, hw0[::-1]) for im in ims]

@@ -118,13 +118,12 @@ def segment(
 
     if adj is not None:
         with timing.span("segmentation.instances", verbose=verbose):
-            # size the fixed degree from the stored lists: dump_data writes
-            # adjacency_degree=32 by default (16 truncates at ~radius point
-            # spacing and severs instance connectivity)
-            k = max((len(row) for row in adj), default=1)
-            adj_fixed = neighbors.lists_to_adjacency(adj, k=max(k, 1))
+            # ragged stored lists go straight to the native CSR union-find
+            # (no [N, max_degree] densify sized by the densest point; the
+            # device fallback densifies vectorized inside)
             insts, ids, pan_info, pan_classes = components.split_into_instances(
-                classes, adj_fixed, nclasses, filter_classes, min_pts_per_inst
+                classes, neighbors.lists_to_csr(adj), nclasses,
+                filter_classes, min_pts_per_inst
             )
     else:
         print("No adjacency list available, hence skipping instance seperation.")

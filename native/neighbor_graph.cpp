@@ -228,6 +228,36 @@ int components_from_adjacency(const int32_t* adj, int64_t n, int32_t k,
   return 0;
 }
 
+// CSR variant: neighbors of i are flat[offsets[i] .. offsets[i+1]).
+// Same semantics as components_from_adjacency (weakly connected, root =
+// min member index) without materializing an [n, max_degree] table — the
+// stored per-point adjacency lists are ragged, and one dense row at the
+// single densest point would size the whole table (pipeline/get3dseg.py).
+int components_from_csr(const int32_t* offsets, const int32_t* flat,
+                        int64_t n, const int32_t* labels, int32_t* out) {
+  if (n <= 0) return 1;
+  std::vector<int32_t> root((size_t)n);
+  for (int64_t i = 0; i < n; ++i) root[(size_t)i] = (int32_t)i;
+  std::function<int32_t(int32_t)> find = [&](int32_t a) {
+    while (root[(size_t)a] != a) {
+      root[(size_t)a] = root[(size_t)root[(size_t)a]];
+      a = root[(size_t)a];
+    }
+    return a;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t j = offsets[i]; j < offsets[i + 1]; ++j) {
+      const int32_t nb = flat[j];
+      if (nb < 0 || nb >= n) continue;
+      if (labels && labels[i] != labels[nb]) continue;
+      const int32_t ra = find((int32_t)i), rb = find(nb);
+      if (ra != rb) root[(size_t)std::max(ra, rb)] = std::min(ra, rb);
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = find((int32_t)i);
+  return 0;
+}
+
 }  // extern "C"
 
 #ifdef BUILD_CLI

@@ -113,6 +113,30 @@ class TestVoting:
 
 
 class TestComponents:
+    def test_csr_split_matches_dense(self, rng):
+        """split_into_instances over a ragged CSR adjacency (the stored
+        artifact form, no [N, max_degree] densify) must match the dense
+        path exactly — both backends."""
+        n = 800
+        centers = rng.normal(size=(6, 3)) * 4
+        pts = (centers[rng.integers(0, 6, n)]
+               + rng.normal(size=(n, 3)) * 0.2).astype(np.float32)
+        classes = rng.integers(0, 3, n).astype(np.int32)
+        lists = oracle.radius_neighbors(pts, 0.35)
+        k = max(len(r) for r in lists)
+        dense = neighbors.lists_to_adjacency(lists, k=max(k, 1))
+        csr = neighbors.lists_to_csr(lists)
+        np.testing.assert_array_equal(
+            neighbors.csr_to_adjacency(*csr), dense)
+        for backend in ("auto", "device"):
+            a = components.split_into_instances(
+                classes, dense, 3, None, 5, backend=backend)
+            b = components.split_into_instances(
+                classes, csr, 3, None, 5, backend=backend)
+            np.testing.assert_array_equal(a[1], b[1])
+            np.testing.assert_array_equal(a[3], b[3])
+            assert a[2] == b[2]
+
     def test_matches_bfs_oracle(self, rng):
         # clustered random points so the graph has nontrivial components
         n = 400
