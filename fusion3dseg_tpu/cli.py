@@ -24,7 +24,6 @@ import argparse
 def main(argv=None):
     import fusion3dseg_tpu
 
-    fusion3dseg_tpu.enable_compile_cache()
     p = argparse.ArgumentParser(prog="fusion3dseg_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -152,6 +151,13 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
+    # compile cache only for device-compiling subcommands: enabling it
+    # queries jax.default_backend(), which CLAIMS the TPU — host-only
+    # subcommands (and --help) must not contend for the chip with a
+    # training job ("one process holds the TPU at a time", CLAUDE.md)
+    if args.cmd not in ("ingest", "tum", "synth"):
+        fusion3dseg_tpu.enable_compile_cache()
+
     if args.cmd == "seg2d":
         from fusion3dseg_tpu.models import SegFormerConfig
         from fusion3dseg_tpu.pipeline.get2dseg import (
@@ -236,7 +242,7 @@ def main(argv=None):
             ids, grown = refinement.depth_floodfill(
                 args.session_dir, adj, args.seed_point,
                 np.asarray(args.wall_point), np.asarray(args.wall_normal),
-                depth_threshold=args.threshold or 0.03,
+                depth_threshold=args.threshold if args.threshold is not None else 0.03,
                 max_level=args.max_level,
                 grow_from_instance=not args.from_point,
             )
@@ -244,7 +250,7 @@ def main(argv=None):
             ids, grown = refinement.color_floodfill(
                 args.session_dir, adj, args.seed_point,
                 np.asarray(colors) if colors is not None else np.zeros_like(pts),
-                color_threshold=args.threshold or 0.1,
+                color_threshold=args.threshold if args.threshold is not None else 0.1,
                 max_level=args.max_level,
                 grow_from_instance=not args.from_point,
             )

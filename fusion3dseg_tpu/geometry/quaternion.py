@@ -113,7 +113,19 @@ def between_vectors(v1: jax.Array, v2: jax.Array) -> jax.Array:
     v2 = v2 / jnp.linalg.norm(v2, axis=-1, keepdims=True)
     w = 1.0 + jnp.sum(v1 * v2, axis=-1, keepdims=True)
     xyz = jnp.cross(v1, v2)
-    return normalize(jnp.concatenate([w, xyz], axis=-1))
+    q = jnp.concatenate([w, xyz], axis=-1)
+    # ANTIparallel vectors give the zero quaternion (w = 0, cross = 0) —
+    # normalize would return NaN. Substitute a 180-degree rotation about
+    # an axis orthogonal to v1 (whichever of x/z is less aligned with it).
+    degenerate = jnp.linalg.norm(q, axis=-1, keepdims=True) < 1e-6
+    ex = jnp.zeros_like(v1).at[..., 0].set(1.0)
+    ez = jnp.zeros_like(v1).at[..., 2].set(1.0)
+    alt = jnp.where(
+        jnp.abs(v1[..., :1]) < 0.9, jnp.cross(v1, ex), jnp.cross(v1, ez)
+    )
+    alt = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), 1e-12)
+    q180 = jnp.concatenate([jnp.zeros_like(w), alt], axis=-1)
+    return normalize(jnp.where(degenerate, q180, q))
 
 
 def from_euler(roll: jax.Array, pitch: jax.Array, yaw: jax.Array) -> jax.Array:

@@ -263,9 +263,15 @@ def floodfill_level(
     adj_ok = adj >= 0
     adj_safe = jnp.where(adj_ok, adj, 0)
     if classes is not None:
+        # allow every class that ANY seed carries (the docstring's "the
+        # seeds' classes" — keying off only the first seed would strand
+        # seeds of a second class as ungrowable singletons)
         classes = jnp.asarray(classes, jnp.int32)
-        seed_cls = classes[jnp.argmax(member)]
-        allowed = classes == seed_cls
+        nclasses_bound = int(jnp.max(classes)) + 1
+        seed_hist = jnp.zeros((nclasses_bound,), jnp.int32).at[classes].max(
+            member.astype(jnp.int32)
+        )
+        allowed = seed_hist[classes] > 0
     else:
         allowed = jnp.ones((n,), bool)
 
@@ -303,7 +309,6 @@ def merge_instances_by_classes(
     by_class: Dict[int, List[Dict]] = {}
     for entry in info:
         by_class.setdefault(int(entry["category_id"]), []).append(entry)
-    keep = []
     absorbed = set()
     for cls_ in classes_to_merge:
         group = sorted(by_class.get(int(cls_), []), key=lambda e: e["id"])

@@ -68,8 +68,12 @@ def vote_frame(
         first = jnp.concatenate(
             [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
         )
-        w = (first & (skey < npts * nc1)).astype(votes.dtype)
-        flat = flat.at[skey].add(w, mode="drop")
+        # drop-route duplicates instead of adding weight-0 into their LIVE
+        # key (a zero add still rides that segment's serialized RMW chain;
+        # docs/DESIGN.md drop-route rule) — bit-identical counts
+        keep = first & (skey < npts * nc1)
+        skey = jnp.where(keep, skey, npts * nc1)
+        flat = flat.at[skey].add(keep.astype(votes.dtype), mode="drop")
     else:
         flat = flat.at[key].add(valid.astype(votes.dtype), mode="drop")
     return flat.reshape(npts, nc1)
@@ -106,7 +110,10 @@ def vote_all_frames(
         return votes
     # fast path: one giant scatter-add over all (frame, pixel) pairs
     valid = uv2pt >= 0
-    pt = jnp.where(valid, uv2pt, 0).reshape(-1)
+    # drop-route unmapped pixels (index npts is OOB -> mode="drop") rather
+    # than funneling the often-majority invalid updates into row 0's RMW
+    # chain as weight-0 adds (docs/DESIGN.md drop-route rule)
+    pt = jnp.where(valid, uv2pt, npts).reshape(-1)
     cls = jnp.clip(masks.astype(jnp.int32), 0, nc1 - 1).reshape(-1)
     ones = valid.astype(jnp.int32).reshape(-1)
     return votes0.at[pt, cls].add(ones, mode="drop")

@@ -110,6 +110,27 @@ def connected_triangle_clusters(triangles: np.ndarray, num_vertices: int) -> np.
     Returns [T] int cluster ids (root triangle index)."""
     triangles = np.asarray(triangles, np.int64)
     T = len(triangles)
+    offsets, tids = vertex_triangle_maps(triangles, num_vertices)
+
+    # fast path: express "triangles sharing a vertex" as a CSR graph
+    # (each triangle's 3 vertex groups contribute an edge to the group's
+    # first triangle) and run the native union-find — the pure-Python
+    # per-vertex loop below costs seconds at scan-mesh scale
+    try:
+        from fusion3dseg_tpu.io import native
+
+        firsts = np.full(num_vertices, -1, np.int64)
+        nz = offsets[:-1] < offsets[1:]
+        firsts[nz] = tids[offsets[:-1][nz]]
+        # edges: triangle t -> first triangle of each of its vertices
+        edge_dst = firsts[triangles.reshape(-1)].astype(np.int32)
+        off3 = (np.arange(T + 1, dtype=np.int32) * 3)
+        labels = native.components_from_csr(off3, edge_dst)
+        if labels is not None:
+            return labels.astype(np.int64)
+    except Exception:
+        pass
+
     root = np.arange(T)
 
     def find(a):
@@ -119,7 +140,6 @@ def connected_triangle_clusters(triangles: np.ndarray, num_vertices: int) -> np.
         return a
 
     # union triangles sharing a vertex via the CSR map
-    offsets, tids = vertex_triangle_maps(triangles, num_vertices)
     for v in range(num_vertices):
         group = tids[offsets[v] : offsets[v + 1]]
         for k in range(1, len(group)):

@@ -162,7 +162,11 @@ class Taxonomy:
 
         df = pd.read_csv(path)
         n = int(df["Class_ID"].max()) + 1
-        names = COCO_133_CLASSES if n <= 133 else [str(i) for i in range(n)]
+        # the reference's classes.csv carries 134 rows (COCO-133 +
+        # 'unclassified'); falling through to numeric names for n == 134
+        # would silently lose every real class name on a to_csv round-trip
+        full = list(COCO_133_CLASSES) + ["unclassified"]
+        names = full if n <= len(full) else [str(i) for i in range(n)]
         return cls(
             class_names=names[:n],
             parent_names=df["Parent"].tolist(),
