@@ -64,7 +64,11 @@ def make_workload(npts, nframes, hw, seed=0):
     room = synthetic.RoomSpec(num_objects=8, seed=seed)
     sx, sy, sz = room.size
 
-    # sample world points on the 6 room surfaces + boxes (uniform by area)
+    # sample world points on the 6 room surfaces (no box-surface points:
+    # box classes appear in the MASKS and label occluded wall points behind
+    # them; the z=sz wall carries the ~2/7 remainder, so it is ~2x denser —
+    # kept as-is for comparability with every prior round's cached
+    # workload/baseline numbers)
     n_per = npts // 7
     pts = []
     pts.append(np.c_[rng.uniform(0, sx, n_per), np.zeros(n_per), rng.uniform(0, sz, n_per)])
@@ -315,7 +319,10 @@ def config5_10m(args, result):
     tenm_cs = max(args.cell_size, 256)
     idx_cache = os.path.join(
         tempfile.gettempdir(),
-        f"f3s_bench_cells_{npts}_{frames}_{tenm_cs}.npz",
+        # hw belongs in the key: the visible-cell lists depend on the
+        # frustum, and a stale index for another FOV would silently
+        # mis-cull the timed kernel
+        f"f3s_bench_cells_{npts}_{frames}_{hw[0]}x{hw[1]}_{tenm_cs}.npz",
     )
     if os.path.exists(idx_cache):
         z = np.load(idx_cache)

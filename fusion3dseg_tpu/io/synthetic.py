@@ -133,12 +133,17 @@ def _raycast(
         np.where(dirs[:, 1] > 0, CEILING_CLASS, FLOOR_CLASS),
         WALL_CLASS,
     ).astype(np.uint8)
-    hit = (t_exit > 0) & (t_exit < t_best)
-    t_best[hit] = t_exit[hit]
+    # the room is closed, so t_exit IS the visible surface: label every ray
+    # with its exit-face class even beyond max_depth (leaving cls 0 there
+    # would stamp a real COCO class — 'person' — on far pixels); the depth
+    # for beyond-range rays is invalidated to 0 after the box pass below
+    hit = t_exit > 0
     cls_best[hit] = face_cls[hit]
     nrm_axis[hit] = exit_axis[hit]
     # room face normal points back against the ray's axis direction
     nrm_sign[hit] = -np.sign(dirs[np.arange(n), exit_axis])[hit]
+    in_range = hit & (t_exit < t_best)
+    t_best[in_range] = t_exit[in_range]
 
     # object boxes: slab-test entry intersection
     for b in range(len(boxes)):
@@ -155,6 +160,11 @@ def _raycast(
         nrm_axis[hit] = entry_axis[hit]
         nrm_sign[hit] = -np.sign(dirs[np.arange(n), entry_axis])[hit]
         inst_best[hit] = b
+
+    # rays whose nearest surface lies beyond max_depth: depth is invalid
+    # (0 -> excluded by every depth-range mask); the mask keeps the true
+    # surface class from above
+    t_best[t_best >= max_depth] = 0.0
 
     if not return_normals:
         return t_best, cls_best

@@ -127,6 +127,7 @@ def load_associations(
     seq_dir,
     max_difference: float = 0.02,
     pose_max_difference: float = 0.02,
+    trajectory=None,
 ) -> List[Tuple[float, str, float, str, float]]:
     """Associate the three streams of a TUM sequence.
 
@@ -137,7 +138,9 @@ def load_associations(
     seq_dir = Path(seq_dir)
     rgb = read_file_list(seq_dir / "rgb.txt")
     depth = read_file_list(seq_dir / "depth.txt")
-    pose_ts, _, _ = read_trajectory(seq_dir / "groundtruth.txt")
+    if trajectory is None:
+        trajectory = read_trajectory(seq_dir / "groundtruth.txt")
+    pose_ts = trajectory[0]
 
     rd = associate(list(rgb), list(depth), max_difference)
     pose_of = {
@@ -179,13 +182,17 @@ def load_session(
     seq_dir = Path(seq_dir)
     K = _resolve_intrinsics(intrinsics, seq_dir)
 
-    assoc = load_associations(seq_dir, max_difference)[startf:stopf:stepf]
+    # parse the (often tens-of-thousands-of-lines) trajectory ONCE and
+    # share it with the association pass
+    pose_ts, pose_xyz, pose_q = read_trajectory(seq_dir / "groundtruth.txt")
+    assoc = load_associations(
+        seq_dir, max_difference, trajectory=(pose_ts, pose_xyz, pose_q)
+    )[startf:stopf:stepf]
     if not assoc:
         raise FileNotFoundError(
             f"no rgb/depth/pose associations within {max_difference}s "
             f"in {seq_dir} — is this a TUM RGB-D sequence directory?"
         )
-    pose_ts, pose_xyz, pose_q = read_trajectory(seq_dir / "groundtruth.txt")
     pose_at = {t: i for i, t in enumerate(pose_ts)}
 
     rgbs, depths, xyz, xyzw, stamps = [], [], [], [], []

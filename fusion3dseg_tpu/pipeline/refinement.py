@@ -219,7 +219,11 @@ def closest_point_on_segment(a, b, p):
 def door_updation(outer_poly, inner_poly, normal_wall, max_distance: float = 0.2):
     """Snap door polygon onto the wall plane and its nearby edges
     (reference :40-80): project door corners onto the wall plane, then pull
-    each corner to the closest wall-polygon edge within max_distance."""
+    each corner to wall-polygon edges within max_distance. Edge snaps
+    COMPOUND in edge order (each test measures from the already-moved
+    corner, and a later qualifying edge overwrites an earlier one) — this
+    is deliberate bug-for-bug parity with the reference's numpy-view
+    mutation, not a closest-edge selection."""
     outer_poly = np.asarray(outer_poly, np.float64)
     inner = np.asarray(inner_poly, np.float64).copy()
     n = np.asarray(normal_wall, np.float64)
