@@ -67,6 +67,12 @@ class TestComponentExtras:
         seeds[0] = True
         m = components.floodfill_level(adj, seeds, max_level=50, classes=classes)
         assert m[:10].all() and not m[10:].any()
+        # seeds spanning TWO classes: both classes must grow (a first-seed-
+        # only restriction stranded the second class; review finding r3)
+        seeds2 = np.zeros(20, bool)
+        seeds2[0] = seeds2[15] = True
+        m2 = components.floodfill_level(adj, seeds2, max_level=50, classes=classes)
+        assert m2.all()
 
     def test_cluster_boundaries(self):
         pts = np.c_[np.arange(10) * 0.1, np.zeros(10), np.zeros(10)].astype(np.float32)

@@ -141,6 +141,9 @@ class TestArtifactContracts:
         t2 = tax.Taxonomy.from_csv(tmp_path / "classes.csv")
         assert t2.parent_ids == t.parent_ids
         assert t2.flag_objremoval == t.flag_objremoval
+        # real class names survive the 134-row round trip (review r3:
+        # n=134 used to degrade names to '0'..'133')
+        assert t2.class_names[:len(t.class_names)] == list(t.class_names)
         # the reference load_csv 5-tuple contract (get3DSeg.py:357-367)
         class_id, parent_name, parent_id, flag_infojson, building = load_csv(
             tmp_path / "classes.csv"

@@ -56,6 +56,16 @@ class TestQuaternion:
         got = np.asarray(quat.rotate(q, jnp.asarray(v1[None] / np.linalg.norm(v1))))
         np.testing.assert_allclose(got[0], v2 / np.linalg.norm(v2), atol=1e-6)
 
+    def test_between_vectors_antiparallel(self):
+        # w = 1 + dot = 0 and cross = 0: must return a finite 180-degree
+        # rotation, not the normalized zero quaternion (NaN)
+        for v in ([1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0], [0.6, -0.64, 0.48]):
+            v1 = jnp.asarray(v)
+            q = quat.between_vectors(v1, -v1)
+            assert np.isfinite(np.asarray(q)).all()
+            got = np.asarray(quat.rotate(q, v1[None]))
+            np.testing.assert_allclose(got[0], -np.asarray(v1), atol=1e-6)
+
 
 class TestCamera:
     def _setup(self, rng):
