@@ -138,6 +138,10 @@ def main(argv=None):
                    help="host-side flip + photometric augmentation")
     s.add_argument("--resume", action="store_true",
                    help="resume params/opt-state/step from --checkpoint-dir")
+    s.add_argument("--upright", action="store_true",
+                   help="corrected (upright) camera convention for the "
+                        "synthetic dataset + eval (ROADMAP #13; the legacy "
+                        "default matches the shipped weights)")
 
     s = sub.add_parser("all", help="full pipeline: ingest -> seg2d -> fuse -> seg3d")
     s.add_argument("export_dir")
@@ -296,7 +300,7 @@ def main(argv=None):
             steps=args.steps, batch_size=args.batch_size, learning_rate=args.lr,
             checkpoint_dir=args.checkpoint_dir,
             input_hw=(args.input_size, args.input_size),
-            appearance=args.appearance,
+            appearance=args.appearance, upright=args.upright,
             lr_schedule=args.schedule, warmup_steps=args.warmup_steps,
             weight_decay=args.weight_decay, augment=args.augment,
             resume=args.resume,
@@ -317,7 +321,8 @@ def main(argv=None):
                 checkpoint_dir=args.checkpoint_dir,
                 input_hw=cfg.input_hw, batch_size=args.batch_size,
             )
-            stats = evaluate_synthetic(seg, appearance=args.appearance)
+            stats = evaluate_synthetic(seg, appearance=args.appearance,
+                                       upright=args.upright)
             print(f"held-out miou: {stats['miou']:.4f} "
                   f"pixel_acc: {stats['pixel_acc']:.4f}")
 

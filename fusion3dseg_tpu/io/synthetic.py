@@ -59,22 +59,29 @@ class SyntheticSession:
         return self.depth.shape[1:3]
 
 
-def _look_rotation(forward: np.ndarray, up=np.array([0.0, 1.0, 0.0])) -> np.ndarray:
+def _look_rotation(
+    forward: np.ndarray, up=np.array([0.0, 1.0, 0.0]), upright: bool = False
+) -> np.ndarray:
     """Camera->world rotation whose +z maps to `forward` (columns = axes).
 
-    KNOWN DEVIATION (r3 review): these columns give a camera rolled 180°
-    relative to the upright CV convention (y_cam maps to world UP, but the
-    pinhole back-projection's v axis increases downward) — equivalent to
-    capturing with an upside-down-mounted camera. Every consumer in this
-    repo is self-consistent (renders, poses, back-projection and fusion all
-    agree; parity/mIoU numbers are unaffected), but the 2D model's LEARNED
-    spatial prior (floors at image top) is inverted relative to real
-    upright captures. Fixing it means r = normalize(f x up), d = f x r,
-    columns [r, d, f] — deliberately NOT changed mid-round because the
-    shipped B1 checkpoint was trained under this convention and retraining
-    needs the TPU (down at review time); flip + retrain + re-ship together
-    (docs/ROADMAP.md)."""
+    KNOWN DEVIATION (r3 review): the default (upright=False) columns give
+    a camera rolled 180° relative to the upright CV convention (y_cam maps
+    to world UP, but the pinhole back-projection's v axis increases
+    downward) — equivalent to capturing with an upside-down-mounted
+    camera. Every consumer in this repo is self-consistent (renders,
+    poses, back-projection and fusion all agree; parity/mIoU numbers are
+    unaffected), but the 2D model's LEARNED spatial prior (floors at image
+    top) is inverted relative to real upright captures. `upright=True` is
+    the corrected convention (image right = f x up, image down = f x r) —
+    staged as opt-in because the SHIPPED B1 checkpoint was trained under
+    the legacy convention; flip the default + retrain + re-ship together
+    (docs/ROADMAP.md #13)."""
     f = forward / np.linalg.norm(forward)
+    if upright:
+        r = np.cross(f, up)
+        r = r / np.linalg.norm(r)
+        d = np.cross(f, r)
+        return np.stack([r, d, f], axis=1)
     r = np.cross(up, f)
     r = r / np.linalg.norm(r)
     u = np.cross(f, r)
@@ -191,6 +198,7 @@ def make_session(
     noise: float = 0.0,
     appearance: str = "flat",
     turns: float = 1.0,
+    upright: bool = False,
 ) -> SyntheticSession:
     """Generate a session: circular trajectory inside the room, cameras
     looking outward, depth + ground-truth class mask per frame. `turns`
@@ -328,7 +336,7 @@ def make_session(
         ang = 2 * np.pi * turns * fidx / max(nframes, 1)
         eye = center + r_traj * np.array([np.cos(ang), 0.0, np.sin(ang)])
         fwd = np.array([np.cos(ang), -0.1, np.sin(ang)])  # look outward, slightly down
-        R = _look_rotation(fwd)
+        R = _look_rotation(fwd, upright=upright)
         q = _mat_to_quat_wxyz(R)
         dirs = rays_cam @ R.T  # world-frame ray directions (unit z-depth scaled)
 

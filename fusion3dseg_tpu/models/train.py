@@ -35,6 +35,7 @@ class TrainConfig:
     checkpoint_every: int = 500
     seed: int = 0
     appearance: str = "flat"  # synthetic-dataset appearance mode
+    upright: bool = False  # corrected camera convention (ROADMAP #13)
     # at-scale knobs (ROADMAP #7): warmup + cosine decay to 10% of peak,
     # decoupled weight decay, host-side augmentation, and full train-state
     # resume (params + opt state + step via orbax) for long multi-session
@@ -90,6 +91,7 @@ def augment_batch(
 def synthetic_dataset(
     hw: Tuple[int, int], batch_size: int, seed: int = 0,
     nframes_per_session: int = 32, appearance: str = "flat",
+    upright: bool = False,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Infinite (images, masks) batches from procedural room sessions.
 
@@ -111,6 +113,7 @@ def synthetic_dataset(
             depth_hw=(96, 72),
             room=synthetic.RoomSpec(seed=int(rng.integers(1 << 30))),
             appearance=appearance,
+            upright=upright,
         )
         # uint8 over the wire (images normalized on-device by the train
         # step; class ids < 255 fit u8): host->device transfer is the train
@@ -177,6 +180,7 @@ def evaluate_synthetic(
     seed: int = 990_000,
     appearance: str = "textured",
     num_classes: int = 134,
+    upright: bool = False,
 ):
     """Held-out evaluation: mean IoU + pixel accuracy of a Segmenter2D over
     fresh sessions whose seeds never appear in training (training draws
@@ -195,6 +199,7 @@ def evaluate_synthetic(
             nframes=nframes, depth_hw=(96, 72),
             room=synthetic.RoomSpec(seed=(1 << 30) + seed + s),
             appearance=appearance,
+            upright=upright,
         )
         gts = sess.gt_mask.astype(np.int64)
         # predict_batch resizes through the model input and returns masks at
@@ -321,7 +326,7 @@ def train(
     if dataset is None:
         dataset = synthetic_dataset(
             config.input_hw, config.batch_size, config.seed + start,
-            appearance=config.appearance,
+            appearance=config.appearance, upright=config.upright,
         )
     aug_rng = np.random.default_rng(config.seed + 7 + start)
 

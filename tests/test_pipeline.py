@@ -219,3 +219,18 @@ def _geometric_gt(pts, sess, tol=0.12, amb_tol=0.2):
         nsurf += nearb.astype(int)
     gt[nsurf >= 2] = -1
     return gt
+
+
+class TestUprightConvention:
+    def test_upright_is_180_rotation_with_floor_at_bottom(self):
+        """The staged corrected camera convention (ROADMAP #13): upright
+        renders are the exact 180-degree in-image rotation of legacy ones,
+        and put the floor at the image bottom like a physically upright
+        camera."""
+        a = synthetic.make_session(nframes=2, depth_hw=(48, 36), upright=False)
+        b = synthetic.make_session(nframes=2, depth_hw=(48, 36), upright=True)
+        np.testing.assert_array_equal(a.gt_mask[0][::-1, ::-1], b.gt_mask[0])
+        np.testing.assert_allclose(a.depth[0][::-1, ::-1], b.depth[0], atol=1e-5)
+        floor = np.where((b.gt_mask[0] == synthetic.FLOOR_CLASS).any(axis=1))[0]
+        ceil = np.where((b.gt_mask[0] == synthetic.CEILING_CLASS).any(axis=1))[0]
+        assert floor.mean() > 24 > ceil.mean()
