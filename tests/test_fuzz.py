@@ -54,3 +54,37 @@ def test_pipeline_invariants_random_rooms(tmp_path, seed):
     for e in final:
         if e.get("bbox"):
             assert np.isfinite(np.asarray(e["bbox"])).all()
+
+
+@pytest.mark.parametrize("seed", [5, 77, 901, 4242])
+def test_packed_sparsify_fuzz(seed):
+    """Property: for ANY bounded point set, voxel_merge with a satisfying
+    static extent bound is bit-identical to the exact 3-key sort across
+    random scales, radii, validity fractions and degenerate clusters."""
+    import jax.numpy as jnp
+
+    from fusion3dseg_tpu.ops.sparsify import voxel_merge
+
+    rng = np.random.default_rng(seed)
+    N = int(rng.integers(64, 3000))
+    scale = float(rng.uniform(0.5, 12.0))
+    radius = float(rng.uniform(0.02, 0.5))
+    pts = rng.uniform(-scale, scale, size=(N, 3)).astype(np.float32)
+    # degenerate clusters: duplicate a block of points exactly
+    dup = rng.integers(0, N, size=N // 4)
+    pts[: len(dup)] = pts[dup]
+    nrm = rng.normal(size=(N, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    clr = rng.random((N, 3)).astype(np.float32)
+    w = rng.integers(1, 6, size=N).astype(np.int32)
+    occ = rng.integers(1, 4, size=N).astype(np.int32)
+    valid = rng.random(N) > rng.uniform(0.0, 0.6)
+    args = tuple(jnp.asarray(x) for x in (pts, nrm, clr, w, occ, valid))
+
+    ref = voxel_merge(*args, radius, 0.9)
+    ext = int(np.ceil(2 * scale / radius)) + 3  # satisfies the bound
+    got = voxel_merge(*args, radius, 0.9, extent_cells=ext)
+    for fld in ref._fields[:-1]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, fld)), np.asarray(getattr(got, fld)),
+            err_msg=f"{fld} seed={seed} N={N} ext={ext}")
