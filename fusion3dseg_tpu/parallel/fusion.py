@@ -205,7 +205,11 @@ def fuse_session_spatial_sharded(
     max_depth: float,
     capacity: int,  # PER-DEVICE slot capacity (total = ndev * capacity)
     candidate_px: int = 1,
-    window: int | None = None,
+    window: int | None = None,  # PER-SHARD merge window: each device
+    # windows its OWN buffer, so effective coverage is ndev * window —
+    # choose window ~ (sequential window) / ndev to match a single-chip
+    # run's merge behavior (r3 scale probe: per-shard 2^14 on 8 devices
+    # out-merged a sequential 2^14 window 2x at loop closure)
     region_factor: float = 8.0,
     axis: str = "dp",
 ) -> Tuple[FusionState, jax.Array]:
