@@ -585,7 +585,8 @@ def fuse_session_checkpointed(
     *, height, width, radius, min_cosine, max_depth, capacity,
     candidate_px: int = 1, window: Optional[int] = None,
     chunk_frames: int = 64, ckpt_dir,
-    max_chunks: Optional[int] = None, verbose: bool = False,
+    max_chunks: Optional[int] = None, retries: int = 0,
+    verbose: bool = False,
 ) -> Tuple[FusionState, np.ndarray]:
     """Checkpointed session fusion: scan in chunks, persist after each.
 
@@ -600,6 +601,10 @@ def fuse_session_checkpointed(
 
     Args mirror fuse_session (host or device arrays); `max_chunks` bounds
     how many chunks to run this call (for tests / cooperative yielding).
+    `retries` re-runs a FAILED chunk from its committed predecessor state
+    that many times before raising (elastic recovery for transient backend
+    errors on long scans — the chunk is a pure function of the committed
+    state, so a retry is bit-exact; SURVEY.md §5 failure-recovery slot).
 
     Returns (state, uv2pt [F, H*W] int32 numpy). If interrupted (max_chunks),
     returns the partial state and the uv2pt rows fused so far.
@@ -678,14 +683,36 @@ def fuse_session_checkpointed(
     while nxt < F and (max_chunks is None or chunks_run < max_chunks):
         end = min(nxt + chunk_frames, F)
         sl = slice(nxt, end)
-        state, uv2pt_c = fuse_chunk(
-            state, jnp.asarray(Ks, jnp.float32),
-            jnp.asarray(quats_wxyz[sl]), jnp.asarray(translations[sl]),
-            jnp.asarray(points[sl]), jnp.asarray(normals[sl]),
-            jnp.asarray(colors[sl]), jnp.asarray(valid[sl]),
-            candidate_px=candidate_px, window=window, **kw,
-        )
-        np.save(ckpt_dir / f"uv2pt_{nxt:07d}.npy", np.asarray(uv2pt_c))
+        attempt = 0
+        while True:
+            try:
+                state_next, uv2pt_c = fuse_chunk(
+                    state, jnp.asarray(Ks, jnp.float32),
+                    jnp.asarray(quats_wxyz[sl]), jnp.asarray(translations[sl]),
+                    jnp.asarray(points[sl]), jnp.asarray(normals[sl]),
+                    jnp.asarray(colors[sl]), jnp.asarray(valid[sl]),
+                    candidate_px=candidate_px, window=window, **kw,
+                )
+                uv2pt_c = np.asarray(uv2pt_c)  # sync — surface async errors
+                break
+            except Exception as e:
+                attempt += 1
+                if attempt > retries:
+                    raise
+                if verbose:
+                    print(f"chunk [{nxt}, {end}) failed "
+                          f"({type(e).__name__}: {e}); retry "
+                          f"{attempt}/{retries} from the last commit")
+                import time as _time
+
+                _time.sleep(2.0)
+                # the failed call may have consumed/corrupted `state`
+                # (donated buffers); reload the committed predecessor
+                prog = _json.loads(marker.read_text())
+                state = load_state(ckpt_dir / prog["state_dir"]
+                                   if "state_dir" in prog else ckpt_dir)
+        state = state_next
+        np.save(ckpt_dir / f"uv2pt_{nxt:07d}.npy", uv2pt_c)
         _commit(state, end)
         if verbose:
             print(f"fused frames [{nxt}, {end}) -> n={int(np.asarray(state.n))}")

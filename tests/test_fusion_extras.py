@@ -178,6 +178,44 @@ class TestMultiSession:
                 *args, chunk_frames=4, ckpt_dir=tmp_path, window=512, **KW
             )
 
+    def test_checkpointed_retry_recovers_bit_exact(self, tmp_path, monkeypatch):
+        """retries= re-runs a failed chunk from its committed predecessor
+        state; a transient mid-scan failure must leave the final result
+        bit-equal to an undisturbed run (elastic recovery, SURVEY §5)."""
+        from fusion3dseg_tpu.fusion import fusion as fmod
+
+        args = _session_arrays(6, F=9)
+        ref_state, ref_uv = fmod.fuse_session_checkpointed(
+            *args, chunk_frames=3, ckpt_dir=tmp_path / "ref", **KW
+        )
+
+        real = fmod.fuse_chunk
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:  # fail the SECOND chunk once
+                raise RuntimeError("injected transient backend error")
+            return real(*a, **k)
+
+        monkeypatch.setattr(fmod, "fuse_chunk", flaky)
+        got_state, got_uv = fmod.fuse_session_checkpointed(
+            *args, chunk_frames=3, ckpt_dir=tmp_path / "flaky", retries=1,
+            **KW
+        )
+        assert calls["n"] == 4  # 3 chunks + 1 retry
+        np.testing.assert_array_equal(np.asarray(ref_uv), np.asarray(got_uv))
+        for fld in ref_state._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref_state, fld)),
+                np.asarray(getattr(got_state, fld)), err_msg=fld)
+        # without retries the same failure must propagate
+        calls["n"] = 0
+        with pytest.raises(RuntimeError, match="injected"):
+            fmod.fuse_session_checkpointed(
+                *args, chunk_frames=3, ckpt_dir=tmp_path / "noretry", **KW
+            )
+
     def test_packed_key_sparsify_bit_identical(self):
         """voxel_merge's packed single-key sort (static extent bound) must
         reproduce the 3-key lexicographic sort bit-exactly: same cell
