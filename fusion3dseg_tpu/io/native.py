@@ -28,7 +28,7 @@ _lib = None
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib if _lib is not False else None
     if os.environ.get("FUSION3DSEG_NO_NATIVE"):
         return None
     if not _LIB_PATH.is_file():
@@ -38,10 +38,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True,
             )
         except Exception:
+            # cache the failure: without this, every native.* call on a
+            # host missing g++/make re-spawns a failing subprocess
+            _lib = False
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
+        _lib = False
         return None
     lib.radius_graph.restype = ctypes.c_int
     lib.radius_graph.argtypes = [
@@ -95,6 +99,8 @@ def radius_graph(points, radius: float, k: int = 16) -> np.ndarray:
     pts = _as_f32c(points)
     n = len(pts)
     adj = np.empty((n, k), np.int32)
+    if n == 0:  # the native call returns rc=1 for n <= 0
+        return adj
     if lib is None:
         from scipy.spatial import cKDTree
 
@@ -122,6 +128,8 @@ def radius_graph_lists(points, radius: float):
     lib = _load()
     pts = _as_f32c(points)
     n = len(pts)
+    if n == 0:  # the native call returns rc=1 for n <= 0
+        return np.empty(0, object)
     if lib is None:
         from scipy.spatial import cKDTree
 
@@ -159,15 +167,33 @@ def connected_components(points, radius: float, labels=None) -> np.ndarray:
     lib = _load()
     pts = _as_f32c(points)
     n = len(pts)
+    if n == 0:
+        return np.empty(0, np.int32)
     if lib is None:
-        import sys
+        # pure-NumPy fallback INSIDE the package (an installed copy has no
+        # tests/ tree): the same two-cloud grid query builds the edge CSR,
+        # then the union-find mirrors the native semantics
+        from fusion3dseg_tpu.pipeline.correspondence import (
+            _two_cloud_radius_pairs,
+        )
 
-        sys.path.insert(0, str(_REPO_ROOT / "tests"))
-        import oracle
+        src, dst = _two_cloud_radius_pairs(pts, pts, radius)
+        lab = None if labels is None else np.asarray(labels)
+        root = np.arange(n, dtype=np.int64)
 
-        lists = oracle.radius_neighbors(pts, radius)
-        lab = np.zeros(n, np.int64) if labels is None else np.asarray(labels)
-        return oracle.flood_fill_components(lab, lists).astype(np.int32)
+        def find(a):
+            while root[a] != a:
+                root[a] = root[root[a]]
+                a = root[a]
+            return a
+
+        for i, j in zip(src.tolist(), dst.tolist()):
+            if i == j or (lab is not None and lab[i] != lab[j]):
+                continue
+            ra, rb = find(i), find(j)
+            if ra != rb:
+                root[max(ra, rb)] = min(ra, rb)
+        return np.asarray([find(i) for i in range(n)], np.int32)
     out = np.empty(n, np.int32)
     lab_ptr = None
     if labels is not None:
@@ -219,7 +245,11 @@ def components_from_csr(offsets, flat, labels=None):
     lib = _load()
     if lib is None or not hasattr(lib, "components_from_csr"):
         return None
-    off = np.ascontiguousarray(np.asarray(offsets, np.int32))
+    offsets = np.asarray(offsets)
+    assert int(offsets[-1]) < np.iinfo(np.int32).max, (
+        "edge count exceeds int32 CSR offsets; split the graph"
+    )
+    off = np.ascontiguousarray(offsets.astype(np.int32))
     fl = np.ascontiguousarray(np.asarray(flat, np.int32))
     n = len(off) - 1
     if n <= 0:

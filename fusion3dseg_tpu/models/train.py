@@ -140,6 +140,11 @@ def directory_dataset(rgb_dir, mask_dir, hw, batch_size, seed=0):
     rng = np.random.default_rng(seed)
     h, w = hw
     n = len(rgb_files)
+    if n < batch_size:
+        raise ValueError(
+            f"directory_dataset: {n} matched image/mask pairs is fewer than "
+            f"batch_size={batch_size} — the batch loop would never yield"
+        )
     while True:
         order = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
@@ -331,6 +336,7 @@ def train(
     aug_rng = np.random.default_rng(config.seed + 7 + start)
 
     loss = None
+    last_saved = -1
     t0 = time.perf_counter()
     for it in range(start, config.steps):
         images, masks = next(dataset)
@@ -338,14 +344,21 @@ def train(
             images, masks = augment_batch(images, masks, aug_rng)
         images = jax.device_put(jnp.asarray(images), shardings["data"])
         masks = jax.device_put(jnp.asarray(masks), shardings["data"])
-        with timing.span("train.step"):
-            params, opt_state, loss = step(params, opt_state, images, masks)
+        # no timing span here: step() returns at dispatch and
+        # block_until_ready does not block on the axon platform, so a span
+        # would record microseconds and contradict the printed it/s rate —
+        # the log line's wall-clock rate is the honest number
+        params, opt_state, loss = step(params, opt_state, images, masks)
         if verbose and (it + 1) % config.log_every == 0:
             lval = float(np.asarray(loss))
             rate = (it + 1 - start) / (time.perf_counter() - t0)
             print(f"step {it + 1}/{config.steps} loss={lval:.4f} ({rate:.2f} it/s)")
         if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
             save_train_state(config.checkpoint_dir, params, opt_state, it + 1)
-    if config.checkpoint_dir:
+            last_saved = it + 1
+    if config.checkpoint_dir and last_saved != config.steps:
+        # skip the duplicate final save when the loop's last iteration
+        # already committed this exact state (a full orbax serialize costs
+        # minutes for b1 through the tunnel host)
         save_train_state(config.checkpoint_dir, params, opt_state, config.steps)
     return params, (float(np.asarray(loss)) if loss is not None else None)

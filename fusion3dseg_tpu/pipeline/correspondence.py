@@ -75,8 +75,13 @@ class Correspondence:
         h, w = self.depth_hw
         if np.isscalar(idx):
             idx = [idx]
+        # valid cloud ids above the max OBSERVED id (a point that lost
+        # every z-buffer tie appears in no uv2pt map) have no observations
+        # — return empty instead of indexing past _offsets
         chunks = [
-            self._obs_sorted[self._offsets[i] : self._offsets[i + 1]] for i in idx
+            self._obs_sorted[self._offsets[i] : self._offsets[i + 1]]
+            if i < self.npts else np.zeros(0, np.int64)
+            for i in idx
         ]
         lin = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
         imgids = lin // (h * w)
@@ -133,6 +138,57 @@ def _numeric_key(stem: str):
         return (1, stem)
 
 
+def _two_cloud_radius_pairs(sparse, dense, radius, chunk=1 << 17):
+    """All (dense_id, sparse_id) pairs within `radius`, via a grid hash
+    over the SPARSE cloud only; dense points query it in chunks. Returns
+    (pd [P] int64 dense ids, ps [P] int64 sparse ids)."""
+    if len(sparse) == 0 or len(dense) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    inv_r = 1.0 / radius
+    vs = np.floor(sparse * inv_r).astype(np.int64)
+    lo = vs.min(0) - 1
+    vs -= lo
+    M = int(vs.max()) + 3  # per-axis key range incl. +-1 query dilation
+    key_s = (vs[:, 0] * M + vs[:, 1]) * M + vs[:, 2]
+    order_s = np.argsort(key_s, kind="stable")
+    ksort = key_s[order_s]
+    offs27 = np.asarray(
+        [(dx * M + dy) * M + dz
+         for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        np.int64,
+    )
+    r2 = np.float64(radius) ** 2
+    out_d, out_s = [], []
+    for c0 in range(0, len(dense), chunk):
+        dch = dense[c0 : c0 + chunk]
+        # clamp into the (dilated) sparse grid: a dense point with a true
+        # neighbor is always in range; out-of-range points clamp to border
+        # cells and their spurious candidates fail the distance test
+        vd = np.clip(np.floor(dch * inv_r).astype(np.int64) - lo, 1, M - 2)
+        kd = (vd[:, 0] * M + vd[:, 1]) * M + vd[:, 2]
+        for off in offs27:
+            k = kd + off
+            a = np.searchsorted(ksort, k, "left")
+            b = np.searchsorted(ksort, k, "right")
+            cnt = b - a
+            nz = np.nonzero(cnt)[0]
+            if len(nz) == 0:
+                continue
+            reps = cnt[nz]
+            did = np.repeat(nz, reps)
+            # expand [a, b) ranges: base + intra-range offset
+            base = np.repeat(a[nz], reps)
+            first = np.repeat(np.cumsum(reps) - reps, reps)
+            cand = order_s[base + (np.arange(len(base)) - first)]
+            diff = sparse[cand].astype(np.float64) - dch[did].astype(np.float64)
+            ok = np.einsum("ij,ij->i", diff, diff) <= r2
+            out_d.append((c0 + did[ok]).astype(np.int64))
+            out_s.append(cand[ok].astype(np.int64))
+    pd = np.concatenate(out_d) if out_d else np.zeros(0, np.int64)
+    ps = np.concatenate(out_s) if out_s else np.zeros(0, np.int64)
+    return pd, ps
+
+
 class PointCorrespondence:
     """Radius-NN sparse<->dense correspondence (reference PointCorrespondance
     :162-283): dense points laid out as nframes x H x W row-major images;
@@ -140,8 +196,6 @@ class PointCorrespondence:
     of sklearn KDTree)."""
 
     def __init__(self, sparse_points, dense_points, radius, nframes, depth_hw):
-        from fusion3dseg_tpu.io import native
-
         self.depth_hw = tuple(depth_hw)
         self.nframes = nframes
         h, w = depth_hw
@@ -149,21 +203,15 @@ class PointCorrespondence:
         n_dense = len(dense_points)
         assert n_dense == nframes * hw
 
-        # dense id -> list of sparse ids within radius, CSR
-        lists = native.radius_graph_lists(
-            np.vstack([np.asarray(sparse_points), np.asarray(dense_points)]).astype(np.float32),
-            radius,
+        # dense id -> list of sparse ids within radius, CSR. The grid is
+        # built over the SPARSE cloud only and dense points query it in
+        # chunks — an earlier combined-cloud CSR also materialized every
+        # dense-dense neighbor pair (tens-to-hundreds per depth pixel at
+        # millimeter spacing) just to discard them (review finding r3).
+        pd, ps = _two_cloud_radius_pairs(
+            np.asarray(sparse_points, np.float32),
+            np.asarray(dense_points, np.float32), float(radius),
         )
-        ns = len(sparse_points)
-        # neighbors of each sparse point restricted to dense ids
-        pairs_d, pairs_s = [], []
-        for s in range(ns):
-            nbrs = lists[s]
-            d = nbrs[nbrs >= ns] - ns
-            pairs_d.append(d)
-            pairs_s.append(np.full(len(d), s, np.int64))
-        pd = np.concatenate(pairs_d) if pairs_d else np.zeros(0, np.int64)
-        ps = np.concatenate(pairs_s) if pairs_s else np.zeros(0, np.int64)
         order = np.argsort(pd, kind="stable")
         self._sp_sorted = ps[order]
         self._offsets = np.searchsorted(pd[order], np.arange(n_dense + 1))
@@ -195,16 +243,24 @@ class PointCorrespondence:
         votes = np.zeros((num_sparse, nclasses + 1), np.int64)
         for f in range(self.nframes):
             lo = f * h * w
-            # CSR rows for this frame's dense points
+            # CSR rows for this frame's dense points; pixels whose mask id
+            # is out of range (>= nclasses — e.g. a 255 ignore label, or
+            # the 'unclassified' id itself) don't vote: the last column is
+            # a dedicated TOTALS column here, so an unclipped id would
+            # corrupt it (or raise) and a clipped one would miscount as
+            # the top real class
+            votable = masks[f] < nclasses
             starts = self._offsets[lo : lo + h * w]
             ends = self._offsets[lo + 1 : lo + h * w + 1]
-            freq = ends - starts
+            freq = np.where(votable, ends - starts, 0)
             if freq.sum() == 0:
                 continue
+            sel = freq > 0
             idx = np.concatenate(
-                [self._sp_sorted[s:e] for s, e in zip(starts, ends) if e > s]
+                [self._sp_sorted[s:e]
+                 for s, e, ok in zip(starts, ends, sel) if ok]
             )
-            cls = np.repeat(masks[f][freq > 0], freq[freq > 0])
+            cls = np.repeat(masks[f][sel], freq[sel])
             # fancy-index += like the reference (voting.py:257-258):
             # duplicate (point, class) pairs within one frame collapse
             votes[idx, cls] += 1
