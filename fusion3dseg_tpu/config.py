@@ -4,6 +4,11 @@ The reference has no config system — constants live as keyword defaults
 (reference get3DSeg.py:18-22, Fusion3DSeg/process3D.py:14-18) plus hard-coded
 paths in __main__ blocks. Here each stage gets one frozen dataclass; defaults
 mirror the reference's so a user gets identical behavior out of the box.
+
+These dataclasses are the CANONICAL default record: a drift test
+(tests/test_contracts.py) pins each field against the live stage
+signatures, so editing a stage default without updating (or consciously
+diverging from) the config here fails CI-style.
 """
 
 from __future__ import annotations
@@ -44,7 +49,10 @@ class FusionConfig:
     point_range: Tuple[float, float] = (0.1, 4.0)  # valid depth range [m]
     decimation: int = 1
     min_occ: int = 3  # occurrence-denoise threshold (applied to nmerges)
-    max_depth: float = 10.0  # far-plane distance for frustum culling [m]
+    # far-plane distance for frustum culling [m]; None = point_range[1]
+    # (the reference's far plane, process3D.py:17 — process3DSeg culls at
+    # the validity range's upper bound, not an independent knob)
+    max_depth: Optional[float] = None
     skip: int = 1  # frame skip
     # TPU-specific: fixed sparse-point capacity (XLA static shapes). The
     # running sparse cloud lives in a padded buffer of this many slots.

@@ -14,7 +14,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-12
+_EPS = 1e-12  # normalization floor only — NOT for parallel tests
+# parallel-ray/plane guard: f32 dots of unit-ish vectors carry rounding
+# noise ~1e-7, so a 1e-12 test passes genuinely parallel geometry and
+# returns huge finite t instead of the documented inf (review r3); scale
+# the threshold to the operands instead
+_PARALLEL_EPS = 1e-6
 
 
 def points_inside_polyhedra(
@@ -56,7 +61,8 @@ def ray_plane_intersections(
     num = jnp.einsum(
         "nc,c->n", plane_point - ray_origins, plane_normal, precision="highest"
     )
-    t = jnp.where(jnp.abs(denom) > _EPS, num / denom, jnp.inf)
+    scale = jnp.linalg.norm(ray_dirs, axis=-1) * jnp.linalg.norm(plane_normal)
+    t = jnp.where(jnp.abs(denom) > _PARALLEL_EPS * scale, num / denom, jnp.inf)
     return ray_origins + t[:, None] * ray_dirs, t
 
 
@@ -77,7 +83,9 @@ def lines_planes_intersections(
         plane_normals,
         precision="highest",
     )
-    t = jnp.where(jnp.abs(denom) > _EPS, num / denom, jnp.inf)
+    scale = (jnp.linalg.norm(line_dirs, axis=-1)[:, None]
+             * jnp.linalg.norm(plane_normals, axis=-1)[None])
+    t = jnp.where(jnp.abs(denom) > _PARALLEL_EPS * scale, num / denom, jnp.inf)
     return line_points[:, None] + t[..., None] * line_dirs[:, None], t
 
 

@@ -205,6 +205,11 @@ class SessionData:
         if len(keep) != len(img_idx):
             img_idx = img_idx[keep]
             xyz, xyzw = xyz[keep], xyzw[keep]
+        if not rgbs:
+            raise FileNotFoundError(
+                f"no readable rgb/depth frame pairs under {data_path} for "
+                f"the selected pose range — is this an rtabmap export dir?"
+            )
         rgbs = np.stack(rgbs)
         depths = np.stack(depths).astype(np.float32)
         if padding:
@@ -363,12 +368,23 @@ def perturb_poses(
     """
     quats_xyzw = np.array(quats_xyzw, copy=True)
     translations = np.array(translations, copy=True)
+    idx = np.asarray(list(frame_indices), np.int64)
+    if len(idx) == 0:
+        return quats_xyzw, translations
     dq = np.asarray(rotation_xyzw, np.float64)[[3, 0, 1, 2]]  # -> wxyz
-    for i in frame_indices:
-        q = quats_xyzw[i][[3, 0, 1, 2]]
-        composed = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(q)))
-        quats_xyzw[i] = composed[[1, 2, 3, 0]]
-        translations[i] = translations[i] + np.asarray(translation_delta)
+    # one batched Hamilton product on the host — the previous per-frame
+    # jnp calls paid a 30-90 ms device dispatch PER FRAME (review r3)
+    q = quats_xyzw[idx][:, [3, 0, 1, 2]].astype(np.float64)
+    w1, x1, y1, z1 = dq
+    w2, x2, y2, z2 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    composed = np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=1)
+    quats_xyzw[idx] = composed[:, [1, 2, 3, 0]]
+    translations[idx] = translations[idx] + np.asarray(translation_delta)
     return quats_xyzw, translations
 
 

@@ -178,3 +178,42 @@ class TestArtifactContracts:
             votes_file=work / "segmentation" / "votes.npy",
         )
         np.testing.assert_array_equal(votes1, votes2)
+
+
+class TestConfigDrift:
+    def test_config_defaults_match_stage_signatures(self):
+        """config.py's dataclasses are the canonical default record; this
+        pins them against the live stage signatures so they cannot drift
+        silently (review finding r3: max_depth had already diverged)."""
+        import inspect
+
+        from fusion3dseg_tpu import config as cfg
+        from fusion3dseg_tpu.pipeline.get2dseg import SegmentImage
+        from fusion3dseg_tpu.pipeline.get3dseg import segment
+        from fusion3dseg_tpu.pipeline.process3d import process3DSeg
+
+        def defaults(fn):
+            return {
+                k: v.default for k, v in inspect.signature(fn).parameters.items()
+                if v.default is not inspect.Parameter.empty
+            }
+
+        d = defaults(process3DSeg)
+        f = cfg.FusionConfig()
+        assert f.radius == d["radius"] and f.angle == d["angle"]
+        assert f.stride == d["stride"] and f.point_range == d["point_range"]
+        assert f.decimation == d["decimation"] and f.min_occ == d["min_occ"]
+        assert f.capacity == d["capacity"]
+        assert f.max_depth is None  # documented: None = point_range[1]
+
+        d = defaults(segment)
+        v = cfg.VotingConfig()
+        assert v.threshold == d["threshold"] and v.nclasses == d["nclasses"]
+        assert tuple(v.filter_classes) == tuple(d["filter_classes"])
+        assert v.min_pts_per_inst == d["min_pts_per_inst"]
+
+        d = defaults(SegmentImage)
+        s2 = cfg.Seg2DConfig()
+        assert s2.extension == d["extension"]
+        assert s2.conf_threshold == d["conf_threshold"]
+        assert s2.filter_classes == d["filter_classes"]
