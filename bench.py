@@ -48,6 +48,78 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+HEADLINE_METRIC = "points/sec projected+label-fused (1M-pt cloud, 300 frames)"
+LAST_RECORD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "docs", "BENCH_LAST.json")
+
+# Discovery probe: run jax device discovery in a THROWAWAY subprocess. If the
+# axon tunnel is down, jax.devices() hangs forever inside PJRT init and that
+# hang wedges the whole process (observed r3: the driver's record was lost to
+# a single 300-s window with no retry, VERDICT r3 weak#1). A subprocess can be
+# killed on timeout and retried with backoff; only after a probe succeeds does
+# the main process touch jax itself.
+_PROBE_CODE = "import jax, sys; sys.stdout.write(jax.devices()[0].platform)"
+
+
+def probe_device(timeout=300.0):
+    """One discovery attempt in a fresh subprocess; platform str or None."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    except OSError:
+        return None
+    if r.returncode == 0 and r.stdout.strip():
+        return r.stdout.strip()
+    return None
+
+
+def discover_device_with_retry(attempts=3, timeout=300.0,
+                               backoffs=(60.0, 120.0),
+                               probe=probe_device, sleep=time.sleep):
+    """Device discovery with retry + backoff (VERDICT r3 next#1).
+
+    Returns the platform string, or None once all attempts are exhausted.
+    `probe`/`sleep` are injectable for the simulated-outage unit test.
+    """
+    for i in range(attempts):
+        plat = probe(timeout)
+        if plat:
+            if i:
+                log(f"device discovery succeeded on attempt {i + 1}")
+            return plat
+        if i + 1 < attempts:
+            delay = backoffs[min(i, len(backoffs) - 1)]
+            log(f"device discovery attempt {i + 1}/{attempts} failed "
+                f"(timeout {timeout:.0f}s); retrying in {delay:.0f}s")
+            sleep(delay)
+    return None
+
+
+def emit_discovery_failure(attempts, timeout):
+    """Emit the partial-JSON error line (with a pointer to the last good
+    record, if one exists) and exit 17."""
+    rec = {
+        "metric": HEADLINE_METRIC,
+        "unit": "points/sec", "value": None, "vs_baseline": None,
+        "error": f"device discovery failed after {attempts} attempts x "
+                 f"{timeout:.0f}s — TPU tunnel unreachable",
+    }
+    try:
+        with open(LAST_RECORD_PATH) as f:
+            prev = json.load(f)
+        rec["last_good"] = {"ts": prev.get("ts"), "value": prev.get("value")}
+    except Exception:
+        pass
+    print(json.dumps(rec), flush=True)
+    os._exit(17)
+
+
 def sync(x):
     # axon platform: block_until_ready does not actually block; force a
     # host transfer of one element to wait for the computation
@@ -640,25 +712,36 @@ def main():
                     help="skip the 2D-inference + model-in-the-loop stats")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one timed run")
+    ap.add_argument("--discovery-attempts", type=int, default=3)
+    ap.add_argument("--discovery-timeout", type=float, default=300.0,
+                    help="per-attempt probe window; normal first contact is "
+                         "seconds, 300s is compile-safe")
     args = ap.parse_args()
 
     import threading
 
-    # Device-discovery watchdog: if the axon tunnel is down, jax.devices()
-    # hangs forever inside PJRT init (observed when the relay process died
-    # mid-round) — emit a diagnosable JSON line instead of stalling the
-    # driver. Normal first contact is seconds; 300 s is compile-safe
-    # because compiles happen after device init.
+    # Subprocess-probe discovery with retry+backoff (VERDICT r3 next#1): a
+    # transient tunnel outage must not null the round's record. Each probe
+    # runs jax.devices() in a throwaway process killed on timeout.
+    probed = discover_device_with_retry(
+        attempts=args.discovery_attempts, timeout=args.discovery_timeout)
+    if probed is None:
+        emit_discovery_failure(args.discovery_attempts,
+                               args.discovery_timeout)
+    log(f"discovery probe: platform {probed}")
+
+    # Backstop watchdog: even after a successful probe, the tunnel can die
+    # between the probe exiting and this process's own PJRT init (rare).
     init_done = threading.Event()
 
     def _watchdog():
-        if not init_done.wait(300):
+        if not init_done.wait(args.discovery_timeout):
             print(json.dumps({
-                "metric": "points/sec projected+label-fused "
-                          "(1M-pt cloud, 300 frames)",
+                "metric": HEADLINE_METRIC,
                 "unit": "points/sec", "value": None, "vs_baseline": None,
-                "error": "device discovery timed out after 300s — "
-                         "TPU tunnel unreachable",
+                "error": "device init hung after a successful discovery "
+                         f"probe ({args.discovery_timeout:.0f}s) — tunnel "
+                         "died mid-start",
             }), flush=True)
             os._exit(17)
 
@@ -674,7 +757,7 @@ def main():
     log(f"platform: {jax.devices()}")
 
     result = {
-        "metric": "points/sec projected+label-fused (1M-pt cloud, 300 frames)",
+        "metric": HEADLINE_METRIC,
         "unit": "points/sec",
         "platform": platform,
     }
@@ -697,6 +780,14 @@ def main():
             traceback.print_exc(file=sys.stderr)
 
     print(json.dumps(result), flush=True)
+    # Sidecar record: survives the stdout capture, and the discovery-failure
+    # path points at it ("last_good") so an outage round still shows the most
+    # recent real measurement.
+    try:
+        with open(LAST_RECORD_PATH, "w") as f:
+            json.dump({"ts": time.time(), **result}, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
