@@ -366,3 +366,71 @@ class TestShardedFusion:
         assert both.mean() > 0.3, both.mean()
         agree = (img1[both] == imgS[both]).mean()
         assert agree > 0.9, agree
+
+
+class TestFuseFrameDriftGuard:
+    """MECHANICAL parity guard between the single-chip fuse step and the
+    spatial-sharded port (VERDICT r3 next#5).
+
+    parallel/fusion.py's step() is a stage-by-stage mirror of
+    fusion._fuse_frame with collectives spliced in; it cannot share code
+    without entangling the single-chip step with the mesh, and it has
+    already drifted once (the r3 frustum-window/drop-route reworks were
+    back-ported by review). On a 1-device mesh every collective is an
+    identity, so the two paths must produce BIT-IDENTICAL state and uv2pt
+    artifacts — any behavioral change to _fuse_frame (or _seed_frame /
+    _append_sparsified) that is not ported fails here.
+    """
+
+    def _run_both(self, capacity, window=None):
+        from fusion3dseg_tpu.fusion import fusion as fusion_engine
+        from fusion3dseg_tpu.io import rtab, synthetic
+        from fusion3dseg_tpu.parallel.fusion import fuse_session_spatial_sharded
+
+        F, h, w = 8, 48, 36
+        sess = synthetic.make_session(nframes=F, depth_hw=(h, w))
+        sd = rtab.SessionData.from_arrays(
+            sess.colors, sess.depth, sess.K,
+            sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+        )
+        valid = (sd.depth > 0.1) & (sd.depth <= 8.0)
+        args = (
+            jnp.asarray(sd.Ks, jnp.float32), jnp.asarray(sd.quats_wxyz),
+            jnp.asarray(sd.translations), jnp.asarray(sd.points),
+            jnp.asarray(sd.normals), jnp.asarray(sd.colors),
+            jnp.asarray(valid),
+        )
+        kw = dict(height=h, width=w, radius=0.08,
+                  min_cosine=float(np.cos(np.deg2rad(20.0))),
+                  max_depth=8.0, capacity=capacity, window=window)
+        state1, uv1 = fusion_engine.fuse_session(*args, **kw)
+        mesh1 = sharding.make_mesh(1, tp=1)
+        stateS, uvS = fuse_session_spatial_sharded(mesh1, *args, **kw)
+        return state1, uv1, stateS, uvS
+
+    def _assert_bit_identical(self, state1, uv1, stateS, uvS):
+        n1, nS = int(state1.n), int(stateS.n)
+        assert n1 == nS and n1 > 0, (n1, nS)
+        for field in ("points", "normals", "colors", "nmerges",
+                      "occurences"):
+            a = np.asarray(getattr(state1, field))[:n1]
+            b = np.asarray(getattr(stateS, field))[:n1]
+            assert np.array_equal(a, b), (
+                f"{field} drifted between fusion._fuse_frame and "
+                "parallel/fusion.py step() — port the change "
+                "(see parallel/fusion.py MAINTENANCE note)"
+            )
+        assert np.array_equal(np.asarray(uv1), np.asarray(uvS)), (
+            "uv2pt drifted between the single-chip and spatial-sharded "
+            "fuse steps — port the _fuse_frame change to parallel/fusion.py"
+        )
+
+    def test_one_device_bit_identity_full_merge(self):
+        self._assert_bit_identical(*self._run_both(capacity=1 << 14))
+
+    def test_one_device_bit_identity_windowed(self):
+        # exercises the dynamic-slice window path AND the saturated-buffer
+        # append path (8k cap saturates on this session)
+        self._assert_bit_identical(
+            *self._run_both(capacity=1 << 13, window=1 << 9)
+        )
