@@ -1,5 +1,6 @@
 from fusion3dseg_tpu.ops import (  # noqa: F401
     components,
+    components2d,
     neighbors,
     obb,
     sparsify,

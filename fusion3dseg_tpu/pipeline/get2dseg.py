@@ -16,6 +16,13 @@ one-by-one through a torch predictor (get2DSeg.py:106-126). Checkpoints load
 via orbax; without one, weights are random (the contract is the pipeline,
 not the accuracy of an unshipped external checkpoint — the reference's
 OneFormer weights are likewise not in its repo).
+
+Segmenter2D.predict(image) additionally matches the reference predictor's
+full output contract (get2DSeg.py:60-78): a dict unpacking as
+``sem, pan, inst = outputs.values()`` with [133,H,W] logits, a panoptic
+(idimage, info) pair and an instances record — panoptic/instance segments
+derived from connected components of the thresholded semantic mask
+(ops/components2d.py).
 """
 
 from __future__ import annotations
@@ -96,6 +103,29 @@ class Segmenter2D:
 
         self._infer = _infer
 
+        @partial(jax.jit, static_argnames=("out_h", "out_w"))
+        def _infer_full(params, images, conf_threshold, out_h, out_w):
+            # full-output variant for the reference predict contract: also
+            # returns the raw logits, per-pixel confidence, and connected
+            # components of the thresholded mask (for the panoptic split) —
+            # all inside ONE jitted program so a predict() call is a single
+            # tunnel dispatch
+            from fusion3dseg_tpu.ops import components2d
+
+            logits = self.model.apply({"params": params}, images)
+            logits = jax.image.resize(
+                logits, (images.shape[0], out_h, out_w, logits.shape[-1]),
+                method="bilinear",
+            )
+            sem = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+            nclasses = logits.shape[-1] - 1
+            sem = jnp.where(conf < conf_threshold, nclasses, sem)
+            comp = components2d.label_components_2d_batch(sem)
+            return logits, sem.astype(jnp.uint8), conf, comp
+
+        self._infer_full = _infer_full
+
     def predict_batch(
         self, images: np.ndarray, conf_threshold: float = 0.017
     ) -> np.ndarray:
@@ -112,6 +142,88 @@ class Segmenter2D:
             self.params, jnp.asarray(resized), jnp.float32(conf_threshold), h, w
         )
         return np.asarray(out)
+
+    def predict_batch_full(
+        self, images: np.ndarray, conf_threshold: float = 0.017
+    ):
+        """Batched full outputs: (sem [B,H,W] uint8, pans, insts) where
+        pans[i] = (idimage, info) and insts[i] the instance dict — the
+        reference per-image predict contract (get2DSeg.py:60-78), batched.
+        images: [B, H, W, 3] uint8 RGB."""
+        import cv2
+
+        from fusion3dseg_tpu.ops import components2d
+        from fusion3dseg_tpu.utils import taxonomy as tax
+
+        b, h, w = images.shape[:3]
+        ih, iw = self.input_hw
+        resized = np.stack(
+            [cv2.resize(im, (iw, ih), interpolation=cv2.INTER_LINEAR)
+             for im in images]
+        ).astype(np.float32) / 255.0
+        _, sem, conf, comp = self._infer_full(
+            self.params, jnp.asarray(resized), jnp.float32(conf_threshold),
+            h, w,
+        )
+        sem, conf, comp = np.asarray(sem), np.asarray(conf), np.asarray(comp)
+        nclasses = self.config.num_classes - 1  # trailing unclassified ch.
+        pans, insts = [], []
+        for i in range(b):
+            pan = components2d.panoptic_from_semantic(
+                sem[i], n_thing=tax.N_THING_CLASSES, unclassified=nclasses,
+                components=comp[i],
+            )
+            pans.append(pan)
+            insts.append(
+                components2d.instances_from_panoptic(pan[0], pan[1], conf[i])
+            )
+        return sem, pans, insts
+
+    def predict(self, image: np.ndarray, conf_threshold: float = 0.017):
+        """Single-image predict with the reference's output contract
+        (get2DSeg.py:60-78): returns a dict whose values unpack as
+        ``sem, pan, inst = outputs.values()`` —
+
+          sem_seg:      [133, H, W] float32 class logits
+          panoptic_seg: (idimage [H, W] int32, info list of
+                         {'id','isthing','category_id','area'} dicts)
+          instances:    {'pred_classes' [K], 'pred_masks' [K,H,W] bool,
+                         'scores' [K]} (thing segments only)
+
+        `image` is a [H, W, 3] cv2-default BGR uint8 frame, like the
+        reference predictor's input. Segment ids start at 1; id 0 is void
+        (confidence below `conf_threshold`). The logits cover the 133 COCO
+        classes (the model's native 134th "unclassified" channel is an
+        implementation detail of the semantic path and is dropped here).
+        """
+        import cv2
+
+        from fusion3dseg_tpu.ops import components2d
+        from fusion3dseg_tpu.utils import taxonomy as tax
+
+        h, w = image.shape[:2]
+        ih, iw = self.input_hw
+        rgb = image[:, :, ::-1]
+        resized = cv2.resize(
+            rgb, (iw, ih), interpolation=cv2.INTER_LINEAR
+        ).astype(np.float32)[None] / 255.0
+        logits, sem, conf, comp = self._infer_full(
+            self.params, jnp.asarray(resized), jnp.float32(conf_threshold),
+            h, w,
+        )
+        sem, conf, comp = (np.asarray(sem[0]), np.asarray(conf[0]),
+                           np.asarray(comp[0]))
+        nclasses = self.config.num_classes - 1
+        idimage, info = components2d.panoptic_from_semantic(
+            sem, n_thing=tax.N_THING_CLASSES, unclassified=nclasses,
+            components=comp,
+        )
+        inst = components2d.instances_from_panoptic(idimage, info, conf)
+        return {
+            "sem_seg": np.asarray(logits[0, :, :, :nclasses]).transpose(2, 0, 1),
+            "panoptic_seg": (idimage, info),
+            "instances": inst,
+        }
 
 
 def save_params_npz(path, params) -> None:

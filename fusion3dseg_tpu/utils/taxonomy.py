@@ -48,6 +48,11 @@ COCO_133_CLASSES: List[str] = [
 ]
 assert len(COCO_133_CLASSES) == 133
 
+# COCO panoptic contiguous-id layout: the first 80 categories are "thing"
+# classes (instanceable), the remaining 53 "stuff" — the isthing split the
+# reference's OneFormer info dicts carry (get2DSeg.py:74-78).
+N_THING_CLASSES = 80
+
 # parent classes (classes_meta.json 'classes' equivalent); index = parent_id
 PARENT_CLASSES: List[str] = [
     "Walls", "Ceilings", "Floors", "Beams", "Columns", "Doors", "Windows",

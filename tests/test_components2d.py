@@ -1,0 +1,173 @@
+"""2D connected components + panoptic/instance output contract.
+
+Pins the reference predict() parity (get2DSeg.py:60-78: ``sem, pan, inst =
+outputs.values()``) added in round 4 (VERDICT r3 next#6), and validates the
+jittable hook-and-jump component labeling against a scipy oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage as ndi
+
+from fusion3dseg_tpu.ops import components2d
+
+
+def _oracle_components(classes):
+    """Per-class scipy 4-connectivity labeling -> canonical partition."""
+    out = np.zeros(classes.shape, np.int64)
+    nxt = 1
+    for c in np.unique(classes):
+        lab, k = ndi.label(classes == c, structure=np.array(
+            [[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+        out[lab > 0] = lab[lab > 0] + nxt
+        nxt += k + 1
+    return out
+
+
+def _same_partition(a, b):
+    """Two labelings define the same partition iff the (a,b) pair map is
+    a bijection."""
+    pairs = np.unique(np.stack([a.ravel(), b.ravel()]), axis=1)
+    return (len(np.unique(pairs[0])) == pairs.shape[1]
+            and len(np.unique(pairs[1])) == pairs.shape[1])
+
+
+class TestLabelComponents2D:
+    def test_matches_scipy_on_random_masks(self):
+        rng = np.random.default_rng(0)
+        for trial in range(4):
+            classes = rng.integers(0, 3, (37, 29))
+            got = np.asarray(
+                components2d.label_components_2d(jnp.asarray(classes)))
+            assert _same_partition(got, _oracle_components(classes)), trial
+
+    def test_snake_worst_case(self):
+        # a serpentine single component — the O(diameter) killer for plain
+        # diffusion; pointer jumping must still converge (and fast)
+        h, w = 24, 24
+        classes = np.zeros((h, w), np.int32)
+        for r in range(0, h, 2):
+            classes[r, :] = 1
+            if r + 1 < h:
+                classes[r + 1, w - 1 if (r // 2) % 2 == 0 else 0] = 1
+        got = np.asarray(
+            components2d.label_components_2d(jnp.asarray(classes)))
+        snake = classes == 1
+        assert len(np.unique(got[snake])) == 1  # one component
+        assert _same_partition(got, _oracle_components(classes))
+
+    def test_labels_are_min_flat_index(self):
+        classes = np.array([[0, 0, 1], [1, 0, 1]], np.int32)
+        got = np.asarray(
+            components2d.label_components_2d(jnp.asarray(classes)))
+        # component of pixel (0,0): {(0,0),(0,1),(1,1)} -> root 0
+        assert got[0, 0] == got[0, 1] == got[1, 1] == 0
+        assert got[0, 2] == got[1, 2] == 2  # right column of 1s
+        assert got[1, 0] == 3  # isolated 1
+
+    def test_batched(self):
+        rng = np.random.default_rng(1)
+        classes = rng.integers(0, 2, (3, 16, 18))
+        got = np.asarray(
+            components2d.label_components_2d_batch(jnp.asarray(classes)))
+        for i in range(3):
+            assert _same_partition(got[i], _oracle_components(classes[i]))
+
+
+class TestPanopticAssembly:
+    def _mask(self):
+        # 8x10: two separate chairs (class 56 < 80 = thing), one wall-brick
+        # region (class 109 >= 80 = stuff), some unclassified (133)
+        sem = np.full((8, 10), 109, np.int32)
+        sem[1:3, 1:3] = 56
+        sem[5:7, 6:9] = 56
+        sem[0, 9] = 133
+        return sem
+
+    def test_panoptic_split(self):
+        sem = self._mask()
+        idimage, info = components2d.panoptic_from_semantic(sem)
+        # void where unclassified
+        assert idimage[0, 9] == 0
+        # two thing segments (distinct ids) + one stuff segment
+        things = [s for s in info if s["isthing"]]
+        stuffs = [s for s in info if not s["isthing"]]
+        assert len(things) == 2 and len(stuffs) == 1
+        assert {s["category_id"] for s in things} == {56}
+        assert stuffs[0]["category_id"] == 109
+        ids = [s["id"] for s in info]
+        assert len(set(ids)) == len(ids) and min(ids) >= 1
+        # ids in the image match info, areas correct
+        for s in info:
+            area = int((idimage == s["id"]).sum())
+            assert area == s["area"] > 0
+        assert (idimage[1:3, 1:3] == idimage[1, 1]).all()
+        assert idimage[1, 1] != idimage[5, 6]  # separate instances
+
+    def test_instances(self):
+        sem = self._mask()
+        idimage, info = components2d.panoptic_from_semantic(sem)
+        conf = np.full(sem.shape, 0.5, np.float32)
+        conf[1:3, 1:3] = 0.9
+        inst = components2d.instances_from_panoptic(idimage, info, conf)
+        assert inst["pred_masks"].shape == (2, 8, 10)
+        assert inst["pred_masks"].dtype == bool
+        assert (inst["pred_classes"] == 56).all()
+        assert np.allclose(sorted(inst["scores"]), [0.5, 0.9])
+        # masks disjoint and match the panoptic ids
+        assert not (inst["pred_masks"][0] & inst["pred_masks"][1]).any()
+
+    def test_min_area_folds_to_void(self):
+        sem = self._mask()
+        idimage, info = components2d.panoptic_from_semantic(sem, min_area=5)
+        things = [s for s in info if s["isthing"]]
+        assert len(things) == 1  # the 4-px chair fell below min_area
+        assert idimage[1, 1] == 0
+
+
+class TestPredictContract:
+    def test_reference_unpack_order_and_shapes(self):
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        seg = Segmenter2D(config=tiny, input_hw=(64, 64))
+        img = (np.random.default_rng(0).random((40, 48, 3)) * 255).astype(
+            np.uint8)  # BGR, like the reference's cv2 input
+        outputs = seg.predict(img, conf_threshold=0.0)
+        sem, pan, inst = outputs.values()  # the reference unpack idiom
+        assert sem.shape == (133, 40, 48) and sem.dtype == np.float32
+        idimage, info = pan
+        assert idimage.shape == (40, 48) and idimage.dtype == np.int32
+        for s in info:
+            assert set(s) == {"id", "isthing", "category_id", "area"}
+            assert 0 <= s["category_id"] < 133
+        assert set(inst) == {"pred_classes", "pred_masks", "scores"}
+        # argmax of the returned logits reproduces the panoptic categories
+        cat = np.full(idimage.shape, -1)
+        for s in info:
+            cat[idimage == s["id"]] = s["category_id"]
+        covered = idimage > 0
+        assert covered.mean() > 0.99  # threshold 0 -> everything segmented
+        assert (cat[covered] == sem.argmax(0)[covered]).all()
+
+    def test_predict_batch_full(self):
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        seg = Segmenter2D(config=tiny, input_hw=(64, 64))
+        imgs = (np.random.default_rng(1).random((2, 32, 40, 3)) * 255
+                ).astype(np.uint8)
+        sem, pans, insts = seg.predict_batch_full(imgs, conf_threshold=0.0)
+        assert sem.shape == (2, 32, 40) and len(pans) == 2 and len(insts) == 2
+        for (idimage, info), ins in zip(pans, insts):
+            assert idimage.shape == (32, 40)
+            assert len(ins["pred_classes"]) == sum(
+                1 for s in info if s["isthing"])
