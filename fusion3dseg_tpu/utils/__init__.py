@@ -1,1 +1,1 @@
-from fusion3dseg_tpu.utils import palette, taxonomy, timing  # noqa: F401
+from fusion3dseg_tpu.utils import palette, taxonomy, timing, viz  # noqa: F401
