@@ -210,6 +210,7 @@ def fuse_session_spatial_sharded(
     # choose window ~ (sequential window) / ndev to match a single-chip
     # run's merge behavior (r3 scale probe: per-shard 2^14 on 8 devices
     # out-merged a sequential 2^14 window 2x at loop closure)
+    window_policy: str = "newest",  # overflow policy, see fusion._fuse_frame
     region_factor: float = 8.0,
     axis: str = "dp",
 ) -> Tuple[FusionState, jax.Array]:
@@ -228,8 +229,13 @@ def fuse_session_spatial_sharded(
     share code without entangling the single-chip step with the mesh, so
     optimizations/spec changes to _fuse_frame must be ported here (the r3
     frustum-only window + drop-route reworks were missed at first and
-    back-ported by review).
+    back-ported by review). Unported changes now fail CI mechanically:
+    tests/test_model_parallel.py::TestFuseFrameDriftGuard asserts 1-device
+    bit-identity against fuse_session for the full-merge, windowed and
+    split-policy paths.
     """
+    if window_policy not in ("newest", "split"):
+        raise ValueError(f"unknown window_policy {window_policy!r}")
     ndev = mesh.shape[axis]
     half = candidate_px
     gh = -(-height // half)
@@ -294,12 +300,50 @@ def fuse_session_spatial_sharded(
                 vis = jnp.where(inter, slot_ids, capacity)
                 minv = jnp.min(vis)
                 maxv = jnp.max(jnp.where(inter, slot_ids, -1))
-                w0 = jnp.clip(jnp.maximum(minv, maxv - W + 1), 0, capacity - W)
-                pts_w = jax.lax.dynamic_slice(state.points, (w0, 0), (W, 3))
-                nrm_w = jax.lax.dynamic_slice(state.normals, (w0, 0), (W, 3))
-                inter_w = jax.lax.dynamic_slice(inter, (w0,), (W,))
+                if window_policy == "split":
+                    # two segments per shard: oldest Wa + newest Wb visible
+                    # slots, forced disjoint/contiguous exactly like the
+                    # single-chip step (fusion._fuse_frame window_policy)
+                    Wa = W // 2
+                    Wb = W - Wa
+                    a0 = jnp.clip(minv, 0, capacity - W)
+                    b0 = jnp.clip(maxv - Wb + 1, a0 + Wa, capacity - Wb)
+                else:
+                    Wa, Wb = 0, W
+                    b0 = jnp.clip(
+                        jnp.maximum(minv, maxv - W + 1), 0, capacity - W
+                    )
+                    a0 = b0
+
+                def take_w(arr):
+                    if arr.ndim == 2:
+                        a = jax.lax.dynamic_slice(
+                            arr, (a0, 0), (Wa, arr.shape[1]))
+                        b = jax.lax.dynamic_slice(
+                            arr, (b0, 0), (Wb, arr.shape[1]))
+                    else:
+                        a = jax.lax.dynamic_slice(arr, (a0,), (Wa,))
+                        b = jax.lax.dynamic_slice(arr, (b0,), (Wb,))
+                    return jnp.concatenate([a, b], axis=0) if Wa else b
+
+                def put_w(dst, vals):
+                    if dst.ndim == 2:
+                        if Wa:
+                            dst = jax.lax.dynamic_update_slice(
+                                dst, vals[:Wa], (a0, 0))
+                        return jax.lax.dynamic_update_slice(
+                            dst, vals[Wa:], (b0, 0))
+                    if Wa:
+                        dst = jax.lax.dynamic_update_slice(
+                            dst, vals[:Wa], (a0,))
+                    return jax.lax.dynamic_update_slice(dst, vals[Wa:], (b0,))
+
+                pts_w = take_w(state.points)
+                nrm_w = take_w(state.normals)
+                inter_w = take_w(inter)
             else:
-                w0 = jnp.int32(0)
+                Wa = 0
+                a0 = b0 = jnp.int32(0)
                 pts_w, nrm_w = state.points, state.normals
                 inter_w = inter
             u_w, v_w, z_w = camera.project_points(pts_w, K_l, q, t)
@@ -374,9 +418,9 @@ def fuse_session_spatial_sharded(
             )
             cnt, spt, scl, snr = acc[:, 0], acc[:, 1:4], acc[:, 4:7], acc[:, 7:10]
             if W < capacity:
-                clr_w = jax.lax.dynamic_slice(state.colors, (w0, 0), (W, 3))
-                nm_w = jax.lax.dynamic_slice(state.nmerges, (w0,), (W,))
-                occ_w = jax.lax.dynamic_slice(state.occurences, (w0,), (W,))
+                clr_w = take_w(state.colors)
+                nm_w = take_w(state.nmerges)
+                occ_w = take_w(state.occurences)
             else:
                 clr_w, nm_w, occ_w = state.colors, state.nmerges, state.occurences
             touched = cnt > 0
@@ -392,11 +436,11 @@ def fuse_session_spatial_sharded(
             new_occ = occ_w + touched.astype(jnp.int32)
             if W < capacity:
                 state = FusionState(
-                    jax.lax.dynamic_update_slice(state.points, new_pts, (w0, 0)),
-                    jax.lax.dynamic_update_slice(state.normals, new_nrm, (w0, 0)),
-                    jax.lax.dynamic_update_slice(state.colors, new_clr, (w0, 0)),
-                    jax.lax.dynamic_update_slice(state.nmerges, new_nm, (w0,)),
-                    jax.lax.dynamic_update_slice(state.occurences, new_occ, (w0,)),
+                    put_w(state.points, new_pts),
+                    put_w(state.normals, new_nrm),
+                    put_w(state.colors, new_clr),
+                    put_w(state.nmerges, new_nm),
+                    put_w(state.occurences, new_occ),
                     state.n,
                 )
             else:
@@ -414,17 +458,26 @@ def fuse_session_spatial_sharded(
             state, c2s = _append_owned(state, sp, rank)
 
             # uv2pt: windowed-global candidate id -> true global slot
-            # (needs every device's window base; one tiny psum)
-            w0_vec = jax.lax.psum(
+            # (needs every device's segment bases; one tiny psum). With the
+            # "newest" policy Wa == 0 and a0 == b0, so this reduces to the
+            # single-base mapping.
+            dev_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (ndev, 1), 0
+            )[:, 0]
+            bases = jax.lax.psum(
                 jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, (ndev, 1), 0)[:, 0]
-                    == rank,
-                    w0, 0,
+                    (dev_iota == rank)[:, None],
+                    jnp.stack([a0, b0])[None, :], 0,
                 ),
                 axis,
-            )
+            )  # [ndev, 2]
             r_of = jnp.clip(match_wid // W, 0, ndev - 1)
-            slot_global = r_of * capacity + w0_vec[r_of] + match_wid % W
+            lw_of = match_wid % W
+            seg_local = jnp.where(
+                lw_of < Wa, bases[r_of, 0] + lw_of,
+                bases[r_of, 1] - Wa + lw_of,
+            )
+            slot_global = r_of * capacity + seg_local
             uv2pt = jnp.where(matched, slot_global, -1)
             lp = sp.cell_of_pixel
             uv2pt = jnp.where(

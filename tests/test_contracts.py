@@ -205,6 +205,9 @@ class TestConfigDrift:
         assert f.decimation == d["decimation"] and f.min_occ == d["min_occ"]
         assert f.capacity == d["capacity"]
         assert f.max_depth is None  # documented: None = point_range[1]
+        from fusion3dseg_tpu.fusion import Fusion
+
+        assert f.window_policy == Fusion.window_policy  # dataclass default
 
         d = defaults(segment)
         v = cfg.VotingConfig()

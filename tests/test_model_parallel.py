@@ -382,7 +382,7 @@ class TestFuseFrameDriftGuard:
     _append_sparsified) that is not ported fails here.
     """
 
-    def _run_both(self, capacity, window=None):
+    def _run_both(self, capacity, window=None, window_policy="newest"):
         from fusion3dseg_tpu.fusion import fusion as fusion_engine
         from fusion3dseg_tpu.io import rtab, synthetic
         from fusion3dseg_tpu.parallel.fusion import fuse_session_spatial_sharded
@@ -402,7 +402,8 @@ class TestFuseFrameDriftGuard:
         )
         kw = dict(height=h, width=w, radius=0.08,
                   min_cosine=float(np.cos(np.deg2rad(20.0))),
-                  max_depth=8.0, capacity=capacity, window=window)
+                  max_depth=8.0, capacity=capacity, window=window,
+                  window_policy=window_policy)
         state1, uv1 = fusion_engine.fuse_session(*args, **kw)
         mesh1 = sharding.make_mesh(1, tp=1)
         stateS, uvS = fuse_session_spatial_sharded(mesh1, *args, **kw)
@@ -433,4 +434,11 @@ class TestFuseFrameDriftGuard:
         # append path (8k cap saturates on this session)
         self._assert_bit_identical(
             *self._run_both(capacity=1 << 13, window=1 << 9)
+        )
+
+    def test_one_device_bit_identity_split_policy(self):
+        # the split-window overflow policy must stay ported in lockstep too
+        self._assert_bit_identical(
+            *self._run_both(capacity=1 << 13, window=1 << 9,
+                            window_policy="split")
         )
