@@ -503,6 +503,20 @@ def fusion_and_e2e(args, result):
     result["fusion_engine_frames_per_sec"] = round(fusion_fps, 1)
     result["fusion_engine_128k_auto_window"] = awin128
 
+    # split-window policy throughput on the SAME workload (r4): the quality
+    # default (Fusion driver) must not regress the engine fps — two extra
+    # dynamic slices per field, same scatter volume (docs/ROUND4.md)
+    fkw_split = dict(fkw, window_policy="split")
+    state, _ = fusion_engine.fuse_session(*fargs, **fkw_split)
+    int(np.asarray(state.n))
+    t0 = time.perf_counter()
+    state, _ = fusion_engine.fuse_session(*fargs, **fkw_split)
+    int(np.asarray(state.n))
+    split_fps = 48 / (time.perf_counter() - t0)
+    log(f"fusion engine: {split_fps:.1f} frames/s (same cap/window, "
+        f"window_policy=split)")
+    result["fusion_engine_split_frames_per_sec"] = round(split_fps, 1)
+
     awin = fusion_engine.auto_window(seed_cells, 1 << 20)
     log(f"auto window: seed {seed_cells} cells -> {awin}")
     fkw_1m = dict(fkw, capacity=1 << 20, window=awin)
@@ -540,6 +554,29 @@ def fusion_and_e2e(args, result):
     vga_fps = 12 / (time.perf_counter() - t0)
     log(f"fusion engine: {vga_fps:.1f} frames/s (VGA 640x480, cap 256k)")
     result["fusion_engine_vga_frames_per_sec"] = round(vga_fps, 1)
+
+    # loop-closure revisit stat (r4, VERDICT r3 #4): duplicate growth when
+    # the orbit revisits its start (turns=2) under window overflow. Shapes/
+    # statics match the 128k block so the compiled programs are reused.
+    lsess = synthetic.make_session(nframes=48, depth_hw=(256, 192), turns=2.0)
+    lsd = rtab.SessionData.from_arrays(
+        lsess.colors, lsess.depth, lsess.K,
+        lsess.quats_wxyz[:, [1, 2, 3, 0]], lsess.translations,
+    )
+    lvalid = (lsd.depth > 0.1) & (lsd.depth <= 8.0)
+    largs = tuple(jnp.asarray(x) for x in (
+        lsd.Ks.astype(np.float32), lsd.quats_wxyz, lsd.translations,
+        lsd.points, lsd.normals, lsd.colors, lvalid))
+    st_full, _ = fusion_engine.fuse_session(*largs, **dict(fkw, window=None))
+    n_lfull = int(np.asarray(st_full.n))
+    st_n, _ = fusion_engine.fuse_session(*largs, **fkw)
+    st_s, _ = fusion_engine.fuse_session(*largs, **fkw_split)
+    dup_n = (int(np.asarray(st_n.n)) - n_lfull) / n_lfull
+    dup_s = (int(np.asarray(st_s.n)) - n_lfull) / n_lfull
+    log(f"loop-closure (turns=2, window {awin128}): duplicates "
+        f"newest {dup_n:+.3%} vs split {dup_s:+.3%} (full merge {n_lfull} pts)")
+    result["loopclosure_dup_frac_newest"] = round(dup_n, 4)
+    result["loopclosure_dup_frac_split"] = round(dup_s, 4)
 
     if args.no_e2e_stat:
         return
