@@ -643,10 +643,13 @@ def config4_seg2d(args, result):
     import jax.numpy as jnp
 
     from fusion3dseg_tpu.models import SegFormerConfig
-    from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D, shipped_checkpoint
+    from fusion3dseg_tpu.pipeline.get2dseg import (
+        Segmenter2D, best_shipped_checkpoint,
+    )
 
-    ckpt = shipped_checkpoint("b1")
-    model_name = "b1" if ckpt is not None else "b0"
+    model_name, ckpt = best_shipped_checkpoint()
+    if model_name is None:
+        model_name = "b0"
     seg = Segmenter2D(
         config=SegFormerConfig.named(model_name),
         checkpoint_dir=ckpt, batch_size=8, input_hw=(256, 256),

@@ -30,7 +30,7 @@ def main(argv=None):
     s = sub.add_parser("seg2d", help="2D semantic segmentation of RGB frames")
     s.add_argument("input_dir")
     s.add_argument("output_dir")
-    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b1")
+    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b2")
     s.add_argument("--extension", default="jpg")
     s.add_argument("--conf-threshold", type=float, default=0.017)
     s.add_argument("--checkpoint", default=None,
@@ -148,7 +148,7 @@ def main(argv=None):
     s.add_argument("output_dir")
     s.add_argument("--mask-dir", default=None, help="use existing masks instead of running seg2d")
     s.add_argument("--radius", type=float, default=0.05)
-    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b1")
+    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b2")
     s.add_argument("--checkpoint", default=None,
                    help="seg2d weights; defaults to the shipped snapshot "
                         "for --model when one exists")

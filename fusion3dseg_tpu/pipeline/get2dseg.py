@@ -269,6 +269,21 @@ def shipped_checkpoint(model: str = "b1"):
     return p if p.is_file() else None
 
 
+def best_shipped_checkpoint():
+    """(model_name, npz_path) of the best in-repo snapshot, or (None, None).
+
+    Preference order b2 > b1 > b0: the larger model is the accuracy default
+    (B2 held-out mIoU 0.849 full-eval vs B1 0.825; model-in-the-loop 3D
+    agreement 0.975 vs 0.974 — VERDICT r3 next#2); callers that need
+    throughput over accuracy can still ask for a specific model.
+    """
+    for name in ("b2", "b1", "b0"):
+        p = shipped_checkpoint(name)
+        if p is not None:
+            return name, p
+    return None, None
+
+
 def save_checkpoint(checkpoint_dir, params) -> None:
     import orbax.checkpoint as ocp
 
@@ -314,9 +329,9 @@ def SegmentImage(
         return
 
     if segmenter is None:
-        ckpt = shipped_checkpoint("b1")
+        name, ckpt = best_shipped_checkpoint()
         segmenter = Segmenter2D(
-            config=SegFormerConfig.named("b1") if ckpt else SegFormerConfig(),
+            config=SegFormerConfig.named(name) if ckpt else SegFormerConfig(),
             checkpoint_dir=ckpt,
             batch_size=batch_size if batch_size is not None else 8,
         )
