@@ -143,6 +143,19 @@ def main(argv=None):
                         "synthetic dataset + eval (ROADMAP #13; the legacy "
                         "default matches the shipped weights)")
 
+    s = sub.add_parser(
+        "calibrate",
+        help="sweep seg2d conf_threshold through the model-in-the-loop "
+             "3D protocol and report the calibrated operating point",
+    )
+    s.add_argument("--model", choices=["b0", "b1", "b2"], default=None,
+                   help="default: the best shipped snapshot")
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--sessions", type=int, default=3)
+    s.add_argument("--frames", type=int, default=24)
+    s.add_argument("--max-unclassified", type=float, default=0.01)
+    s.add_argument("--batch-size", type=int, default=8)
+
     s = sub.add_parser("all", help="full pipeline: ingest -> seg2d -> fuse -> seg3d")
     s.add_argument("export_dir")
     s.add_argument("output_dir")
@@ -325,6 +338,37 @@ def main(argv=None):
                                        upright=args.upright)
             print(f"held-out miou: {stats['miou']:.4f} "
                   f"pixel_acc: {stats['pixel_acc']:.4f}")
+
+    elif args.cmd == "calibrate":
+        import json as _json
+
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.models.calibrate import (
+            pick_threshold, sweep_conf_threshold,
+        )
+        from fusion3dseg_tpu.pipeline.get2dseg import (
+            Segmenter2D, best_shipped_checkpoint, shipped_checkpoint,
+        )
+
+        if args.model is None:
+            model, ckpt = best_shipped_checkpoint()
+            if model is None:
+                raise SystemExit("no shipped checkpoint; pass --model/--checkpoint")
+        else:
+            model = args.model
+            ckpt = args.checkpoint or shipped_checkpoint(model)
+        seg = Segmenter2D(
+            config=SegFormerConfig.named(model), checkpoint_dir=ckpt,
+            batch_size=args.batch_size,
+        )
+        seeds = tuple(777 + 7001 * i for i in range(args.sessions))
+        rows = sweep_conf_threshold(
+            seg, session_seeds=seeds, nframes=args.frames, verbose=True,
+        )
+        for r in rows:
+            print(_json.dumps(r))
+        best = pick_threshold(rows, max_unclassified=args.max_unclassified)
+        print("calibrated:", _json.dumps(best))
 
     elif args.cmd == "all":
         from pathlib import Path

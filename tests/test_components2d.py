@@ -171,3 +171,37 @@ class TestPredictContract:
             assert idimage.shape == (32, 40)
             assert len(ins["pred_classes"]) == sum(
                 1 for s in info if s["isthing"])
+
+
+class TestCalibrate:
+    def test_sweep_and_pick(self):
+        """conf-threshold sweep through the model-in-the-loop protocol with
+        a tiny random model — pins the mechanics (one inference pass per
+        session, relabel-only sweep) and the pick rule, not accuracy."""
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.models.calibrate import (
+            pick_threshold, sweep_conf_threshold,
+        )
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        seg = Segmenter2D(config=tiny, input_hw=(64, 64), batch_size=4)
+        rows = sweep_conf_threshold(
+            seg, thresholds=(0.0, 0.9), session_seeds=(5,),
+            nframes=4, depth_hw=(48, 36), capacity=1 << 12,
+        )
+        assert [r["conf_threshold"] for r in rows] == [0.0, 0.9]
+        for r in rows:
+            assert 0.0 <= r["agreement_mean"] <= 1.0
+            assert r["sessions"] == 1
+        # a random model at threshold 0.9 silences most pixels
+        assert (rows[1]["unclassified_pixels_mean"]
+                > rows[0]["unclassified_pixels_mean"])
+        # pick with a huge budget returns the best-agreement row; with a
+        # zero budget it may return None (never crashes)
+        best = pick_threshold(rows, max_unclassified=1.0)
+        assert best["agreement_mean"] == max(r["agreement_mean"] for r in rows)
+        pick_threshold(rows, max_unclassified=0.0)
