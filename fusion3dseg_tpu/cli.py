@@ -144,6 +144,18 @@ def main(argv=None):
                         "default matches the shipped weights)")
 
     s = sub.add_parser(
+        "import-hf",
+        help="convert a HuggingFace SegFormer checkpoint (mit-bX / "
+             "segformer-bX-finetuned-*) to a snapshot our Segmenter2D "
+             "loads — encoder (+ compatible decoder projections) only",
+    )
+    s.add_argument("checkpoint", help=".pth/.bin/.safetensors state dict")
+    s.add_argument("out_npz")
+    s.add_argument("--num-classes", type=int, default=134)
+    s.add_argument("--seed", type=int, default=0,
+                   help="init seed for the non-imported decoder head")
+
+    s = sub.add_parser(
         "calibrate",
         help="sweep seg2d conf_threshold through the model-in-the-loop "
              "3D protocol and report the calibrated operating point",
@@ -172,7 +184,15 @@ def main(argv=None):
     # queries jax.default_backend(), which CLAIMS the TPU — host-only
     # subcommands (and --help) must not contend for the chip with a
     # training job ("one process holds the TPU at a time", CLAUDE.md)
-    if args.cmd not in ("ingest", "tum", "synth"):
+    # import-hf is pure host work (weight remapping + one tiny CPU init):
+    # it must neither claim the TPU (a down tunnel would hang the convert)
+    # nor enable the compile cache (never cache on CPU — CLAUDE.md SIGILL
+    # hazard from remote-compiled XLA:CPU AOT entries)
+    if args.cmd == "import-hf":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.cmd not in ("ingest", "tum", "synth", "import-hf"):
         fusion3dseg_tpu.enable_compile_cache()
 
     if args.cmd == "seg2d":
@@ -338,6 +358,34 @@ def main(argv=None):
                                        upright=args.upright)
             print(f"held-out miou: {stats['miou']:.4f} "
                   f"pixel_acc: {stats['pixel_acc']:.4f}")
+
+    elif args.cmd == "import-hf":
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        from fusion3dseg_tpu.models import SegFormer
+        from fusion3dseg_tpu.models.import_hf import (
+            infer_config_from_state_dict, load_hf_state_dict,
+            params_from_hf_segformer,
+        )
+        from fusion3dseg_tpu.pipeline.get2dseg import save_params_npz
+
+        sd = load_hf_state_dict(args.checkpoint)
+        cfg = infer_config_from_state_dict(sd, num_classes=args.num_classes)
+        print(f"inferred encoder geometry: dims {cfg.embed_dims} depths "
+              f"{cfg.depths} sr {cfg.sr_ratios} decoder {cfg.decoder_dim}")
+        model = SegFormer(cfg)
+        # the non-imported head needs REAL initial values, so run a small
+        # concrete init (param shapes are input-size independent)
+        concrete = nn.meta.unbox(
+            model.init(jax.random.PRNGKey(args.seed),
+                       jnp.zeros((1, 64, 64, 3)))["params"]
+        )
+        params = params_from_hf_segformer(sd, cfg, params_template=concrete)
+        save_params_npz(args.out_npz, params)
+        print(f"wrote {args.out_npz} — fine-tune the decoder with: "
+              "python -m fusion3dseg_tpu train --resume ...")
 
     elif args.cmd == "calibrate":
         import json as _json
