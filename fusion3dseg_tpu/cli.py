@@ -138,6 +138,9 @@ def main(argv=None):
                    help="host-side flip + photometric augmentation")
     s.add_argument("--resume", action="store_true",
                    help="resume params/opt-state/step from --checkpoint-dir")
+    s.add_argument("--init-npz", default=None,
+                   help="warm-start params from an npz snapshot (e.g. an "
+                        "import-hf conversion); ignored when resuming")
     s.add_argument("--upright", action="store_true",
                    help="corrected (upright) camera convention for the "
                         "synthetic dataset + eval (ROADMAP #13; the legacy "
@@ -336,7 +339,7 @@ def main(argv=None):
             appearance=args.appearance, upright=args.upright,
             lr_schedule=args.schedule, warmup_steps=args.warmup_steps,
             weight_decay=args.weight_decay, augment=args.augment,
-            resume=args.resume,
+            resume=args.resume, init_params_npz=args.init_npz,
         )
         ds = None
         if args.rgb_dir and args.mask_dir:

@@ -45,6 +45,10 @@ class TrainConfig:
     weight_decay: float = 0.01
     augment: bool = False
     resume: bool = False
+    # warm-start params from an npz snapshot (save_params_npz layout — e.g.
+    # an import-hf conversion of an externally pretrained encoder). Ignored
+    # when an orbax resume state exists; optimizer state starts fresh.
+    init_params_npz: Optional[str] = None
 
 
 def make_optimizer(config: TrainConfig):
@@ -328,6 +332,13 @@ def train(
         opt_state = jax.tree.map(jax.device_put, host_o, shardings["opt_state"])
         if verbose:
             print(f"resumed from step {start}")
+    elif config.init_params_npz:
+        from fusion3dseg_tpu.pipeline.get2dseg import load_params_npz
+
+        host_p = load_params_npz(config.init_params_npz)
+        params = jax.tree.map(jax.device_put, host_p, shardings["params"])
+        if verbose:
+            print(f"initialized params from {config.init_params_npz}")
     if dataset is None:
         dataset = synthetic_dataset(
             config.input_hw, config.batch_size, config.seed + start,

@@ -256,3 +256,38 @@ class TestTrainerSmoke:
         params, loss = train(cfg2, mesh=mesh, verbose=False)
         assert np.isfinite(loss)
         assert (tmp_path / "ck" / "step.txt").read_text() == "4"
+
+
+class TestInitFromNpz:
+    def test_warm_start_params_load(self, tmp_path):
+        """--init-npz warm start (the import-hf fine-tune path): step 1 runs
+        at warmup LR 0, so the trained params must still equal the snapshot
+        — proving the npz actually seeded the run."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from fusion3dseg_tpu.models import SegFormerConfig, create_model
+        from fusion3dseg_tpu.models.train import TrainConfig, train
+        from fusion3dseg_tpu.pipeline.get2dseg import save_params_npz
+
+        tiny = SegFormerConfig(
+            num_classes=11, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        _, src_params = create_model(tiny, 123, (32, 32))
+        npz = tmp_path / "warm.npz"
+        save_params_npz(npz, src_params)
+
+        cfg = TrainConfig(
+            model=tiny, input_hw=(32, 32), batch_size=2, steps=2,
+            learning_rate=0.0,  # zero LR: params must come through intact
+            warmup_steps=1, init_params_npz=str(npz), log_every=1000,
+        )
+        params, _ = train(cfg, verbose=False)
+        got = np.asarray(
+            jax.tree.leaves(params)[0], dtype=np.float32)
+        want = np.asarray(jax.tree.leaves(
+            jax.tree.map(np.asarray, src_params))[0], dtype=np.float32)
+        # f16 npz round-trip tolerance; warmup step-1 LR is 0
+        np.testing.assert_allclose(got, want, atol=2e-3)
