@@ -30,7 +30,7 @@ def main(argv=None):
     s = sub.add_parser("seg2d", help="2D semantic segmentation of RGB frames")
     s.add_argument("input_dir")
     s.add_argument("output_dir")
-    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b2")
+    s.add_argument("--model", choices=["b0", "b1", "b2", "b3", "b4", "b5"], default="b2")
     s.add_argument("--extension", default="jpg")
     s.add_argument("--conf-threshold", type=float, default=0.017)
     s.add_argument("--checkpoint", default=None,
@@ -124,7 +124,7 @@ def main(argv=None):
     s.add_argument("--rgb-dir", default=None)
     s.add_argument("--mask-dir", default=None)
     s.add_argument("--input-size", type=int, default=256)
-    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b0")
+    s.add_argument("--model", choices=["b0", "b1", "b2", "b3", "b4", "b5"], default="b0")
     s.add_argument("--appearance", choices=["flat", "textured"], default="flat",
                    help="synthetic-dataset appearance (textured = per-session "
                         "palettes + textures + lighting)")
@@ -163,7 +163,7 @@ def main(argv=None):
         help="sweep seg2d conf_threshold through the model-in-the-loop "
              "3D protocol and report the calibrated operating point",
     )
-    s.add_argument("--model", choices=["b0", "b1", "b2"], default=None,
+    s.add_argument("--model", choices=["b0", "b1", "b2", "b3", "b4", "b5"], default=None,
                    help="default: the best shipped snapshot")
     s.add_argument("--checkpoint", default=None)
     s.add_argument("--sessions", type=int, default=3)
@@ -176,7 +176,7 @@ def main(argv=None):
     s.add_argument("output_dir")
     s.add_argument("--mask-dir", default=None, help="use existing masks instead of running seg2d")
     s.add_argument("--radius", type=float, default=0.05)
-    s.add_argument("--model", choices=["b0", "b1", "b2"], default="b2")
+    s.add_argument("--model", choices=["b0", "b1", "b2", "b3", "b4", "b5"], default="b2")
     s.add_argument("--checkpoint", default=None,
                    help="seg2d weights; defaults to the shipped snapshot "
                         "for --model when one exists")

@@ -86,8 +86,36 @@ class SegFormerConfig:
         )
 
     @staticmethod
+    def b3() -> "SegFormerConfig":
+        return SegFormerConfig(
+            embed_dims=(64, 128, 320, 512),
+            depths=(3, 4, 18, 3),
+            num_heads=(1, 2, 5, 8),
+            decoder_dim=768,
+        )
+
+    @staticmethod
+    def b4() -> "SegFormerConfig":
+        return SegFormerConfig(
+            embed_dims=(64, 128, 320, 512),
+            depths=(3, 8, 27, 3),
+            num_heads=(1, 2, 5, 8),
+            decoder_dim=768,
+        )
+
+    @staticmethod
+    def b5() -> "SegFormerConfig":
+        return SegFormerConfig(
+            embed_dims=(64, 128, 320, 512),
+            depths=(3, 6, 40, 3),
+            num_heads=(1, 2, 5, 8),
+            decoder_dim=768,
+        )
+
+    @staticmethod
     def named(name: str) -> "SegFormerConfig":
-        """'b0' | 'b1' | 'b2' preset lookup (CLI --model)."""
+        """'b0'..'b5' preset lookup (CLI --model; b3-b5 mainly as import
+        targets for externally pretrained encoders, models/import_hf.py)."""
         if name == "b0":
             return SegFormerConfig()
         return getattr(SegFormerConfig, name)()
