@@ -527,3 +527,23 @@ class TestLoopClosureWindow:
         # engine changes don't flap the test
         assert dup_newest > 0.30, dup_newest  # the failure mode is REAL
         assert dup_split < 0.02, dup_split    # and split removes it
+
+
+class TestCheckpointPolicyPin:
+    def test_resume_with_changed_window_policy_refuses(self, tmp_path):
+        """window_policy is scan math: resuming a checkpoint fused under a
+        different overflow policy must refuse, not silently continue."""
+        import pytest
+
+        from fusion3dseg_tpu.fusion import fuse_session_checkpointed
+
+        args = _session_arrays(4, F=6)
+        fuse_session_checkpointed(
+            *args, chunk_frames=2, ckpt_dir=tmp_path, max_chunks=1,
+            window_policy="newest", **KW
+        )
+        with pytest.raises(ValueError, match="window_policy"):
+            fuse_session_checkpointed(
+                *args, chunk_frames=2, ckpt_dir=tmp_path,
+                window_policy="split", **KW
+            )
