@@ -136,6 +136,9 @@ def main(argv=None):
     s.add_argument("--weight-decay", type=float, default=0.01)
     s.add_argument("--augment", action="store_true",
                    help="host-side flip + photometric augmentation")
+    s.add_argument("--aug-strength", type=float, default=1.0,
+                   help="scales every augmentation jitter range; >1 adds "
+                        "cutout occluders (hardened regime for long runs)")
     s.add_argument("--resume", action="store_true",
                    help="resume params/opt-state/step from --checkpoint-dir")
     s.add_argument("--init-npz", default=None,
@@ -339,6 +342,7 @@ def main(argv=None):
             appearance=args.appearance, upright=args.upright,
             lr_schedule=args.schedule, warmup_steps=args.warmup_steps,
             weight_decay=args.weight_decay, augment=args.augment,
+            aug_strength=args.aug_strength,
             resume=args.resume, init_params_npz=args.init_npz,
         )
         ds = None

@@ -44,6 +44,7 @@ class TrainConfig:
     warmup_steps: int = 200
     weight_decay: float = 0.01
     augment: bool = False
+    aug_strength: float = 1.0  # scales every augment_batch jitter range
     resume: bool = False
     # warm-start params from an npz snapshot (save_params_npz layout — e.g.
     # an import-hf conversion of an externally pretrained encoder). Ignored
@@ -69,26 +70,59 @@ def make_optimizer(config: TrainConfig):
 
 
 def augment_batch(
-    imgs: np.ndarray, masks: np.ndarray, rng: np.random.Generator
+    imgs: np.ndarray, masks: np.ndarray, rng: np.random.Generator,
+    strength: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side photometric + flip augmentation on uint8 batches.
 
     Geometry-preserving per-image ops only (the masks are dense per-pixel
-    labels): horizontal flip, brightness/contrast jitter, channel gains.
-    Cheap uint16 arithmetic — the train loop overlaps it with the device
-    step."""
+    labels): horizontal flip, brightness/contrast jitter, channel gains,
+    gamma jitter, sensor noise, and (at strength > 1) cutout occluders.
+    Cheap numpy arithmetic — the train loop overlaps it with the device
+    step.
+
+    `strength` scales every jitter range; 1.0 reproduces the r2/r3 recipe
+    plus mild gamma+noise, >1 is the hardened regime for long B2 schedules
+    (r4 — boundary-dominated residual error responds to model quality, not
+    decision rules; docs/ROUND4.md item 2)."""
+    s = float(strength)
     imgs = imgs.copy()
     n = len(imgs)
     flip = rng.random(n) < 0.5
     imgs[flip] = imgs[flip, :, ::-1]
     masks = masks.copy()
     masks[flip] = masks[flip, :, ::-1]
-    # per-image contrast in [0.7, 1.3], brightness in [-32, 32], per-channel
-    # gain in [0.85, 1.15] — composed as one affine LUT-free pass
-    contrast = rng.uniform(0.7, 1.3, (n, 1, 1, 1)).astype(np.float32)
-    bright = rng.uniform(-32, 32, (n, 1, 1, 1)).astype(np.float32)
-    gains = rng.uniform(0.85, 1.15, (n, 1, 1, 3)).astype(np.float32)
+    # per-image contrast in 1±0.3s, brightness in ±32s, per-channel gain in
+    # 1±0.15s — composed as one affine LUT-free pass
+    contrast = rng.uniform(1 - 0.3 * s, 1 + 0.3 * s, (n, 1, 1, 1)).astype(np.float32)
+    bright = rng.uniform(-32 * s, 32 * s, (n, 1, 1, 1)).astype(np.float32)
+    gains = rng.uniform(
+        max(0.0, 1 - 0.15 * s), 1 + 0.15 * s, (n, 1, 1, 3)
+    ).astype(np.float32)
     out = imgs.astype(np.float32) * contrast * gains + bright
+    # gamma jitter on the normalized image (tone-curve variation the affine
+    # pass cannot express)
+    gamma = np.exp(rng.normal(0.0, 0.12 * s, (n, 1, 1, 1))).astype(np.float32)
+    out = np.clip(out, 0.0, 255.0)
+    out = 255.0 * (out / 255.0) ** gamma
+    # additive sensor noise, per-image sigma in [0, 5s]
+    sigma = rng.uniform(0.0, 5.0 * s, (n, 1, 1, 1)).astype(np.float32)
+    out += rng.standard_normal(out.shape, dtype=np.float32) * sigma
+    if s > 1.0:
+        # cutout: paste a random uniform-color rectangle over the IMAGE only
+        # (labels kept — random erasing for dense prediction: the model must
+        # infer the occluded class from context; never larger than 30% of a
+        # side so most of every object survives)
+        h, w = out.shape[1:3]
+        p_cut = min(0.5, 0.25 * (s - 1.0) + 0.25)
+        for i in np.nonzero(rng.random(n) < p_cut)[0]:
+            ch = int(rng.integers(h // 10 + 1, max(h * 3 // 10, h // 10 + 2)))
+            cw = int(rng.integers(w // 10 + 1, max(w * 3 // 10, w // 10 + 2)))
+            y0 = int(rng.integers(0, h - ch + 1))
+            x0 = int(rng.integers(0, w - cw + 1))
+            out[i, y0 : y0 + ch, x0 : x0 + cw] = rng.uniform(0, 255, 3).astype(
+                np.float32
+            )
     return np.clip(out, 0, 255).astype(np.uint8), masks
 
 
@@ -352,7 +386,9 @@ def train(
     for it in range(start, config.steps):
         images, masks = next(dataset)
         if config.augment:
-            images, masks = augment_batch(images, masks, aug_rng)
+            images, masks = augment_batch(
+                images, masks, aug_rng, strength=config.aug_strength
+            )
         images = jax.device_put(jnp.asarray(images), shardings["data"])
         masks = jax.device_put(jnp.asarray(masks), shardings["data"])
         # no timing span here: step() returns at dispatch and

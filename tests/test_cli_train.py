@@ -226,6 +226,28 @@ class TestTrainerSmoke:
         assert not np.array_equal(ai, imgs) or True
         assert set(np.unique(am)) <= set(np.unique(masks))
 
+    def test_augment_strength_scales_and_cutout_preserves_masks(self):
+        from fusion3dseg_tpu.models.train import augment_batch
+
+        rng = np.random.default_rng(3)
+        imgs = np.full((8, 32, 32, 3), 128, np.uint8)
+        masks = rng.integers(0, 134, (8, 32, 32)).astype(np.uint8)
+        a1, m1 = augment_batch(imgs, masks, np.random.default_rng(5), strength=1.0)
+        a2, m2 = augment_batch(imgs, masks, np.random.default_rng(5), strength=2.0)
+        # harder regime perturbs a flat image further from its original value
+        d1 = np.abs(a1.astype(np.int32) - 128).mean()
+        d2 = np.abs(a2.astype(np.int32) - 128).mean()
+        assert d2 > d1
+        # cutout is image-only: masks still exactly flip-or-original per index
+        for m in (m1, m2):
+            for i in range(8):
+                assert np.array_equal(m[i], masks[i]) or np.array_equal(
+                    m[i], masks[i, :, ::-1]
+                )
+        # strength=0 with a fixed flip outcome is near-identity photometrically
+        a0, _ = augment_batch(imgs, masks, np.random.default_rng(5), strength=0.0)
+        assert np.abs(a0.astype(np.int32) - 128).mean() < 1.0
+
     def test_train_checkpoint_resume(self, tmp_path):
         """Full train-state resume: a 2-step run checkpoints, a resumed run
         continues from the recorded step with the optimizer state intact
