@@ -21,6 +21,15 @@ from __future__ import annotations
 import argparse
 
 
+def parse_hw_list(spec: str):
+    """'96x72,128x96' -> ((96, 72), (128, 96)) — the --render-hws format."""
+    out = []
+    for hw in spec.split(","):
+        h, w = hw.lower().split("x")
+        out.append((int(h), int(w)))
+    return tuple(out)
+
+
 def main(argv=None):
     import fusion3dseg_tpu
 
@@ -139,6 +148,11 @@ def main(argv=None):
     s.add_argument("--aug-strength", type=float, default=1.0,
                    help="scales every augmentation jitter range; >1 adds "
                         "cutout occluders (hardened regime for long runs)")
+    s.add_argument("--render-hws", default="96x72",
+                   help="comma-separated raycast resolutions sampled per "
+                        "synthetic session, e.g. '96x72,128x96,192x144' — "
+                        "multi-sharpness training (frames are resized to "
+                        "--input-size for the model)")
     s.add_argument("--resume", action="store_true",
                    help="resume params/opt-state/step from --checkpoint-dir")
     s.add_argument("--init-npz", default=None,
@@ -343,6 +357,7 @@ def main(argv=None):
             lr_schedule=args.schedule, warmup_steps=args.warmup_steps,
             weight_decay=args.weight_decay, augment=args.augment,
             aug_strength=args.aug_strength,
+            render_hws=parse_hw_list(args.render_hws),
             resume=args.resume, init_params_npz=args.init_npz,
         )
         ds = None

@@ -45,6 +45,9 @@ class TrainConfig:
     weight_decay: float = 0.01
     augment: bool = False
     aug_strength: float = 1.0  # scales every augment_batch jitter range
+    # raycast resolutions sampled per session (synthetic dataset only);
+    # multiple entries = multi-sharpness training (see synthetic_dataset)
+    render_hws: Tuple[Tuple[int, int], ...] = ((96, 72),)
     resume: bool = False
     # warm-start params from an npz snapshot (save_params_npz layout — e.g.
     # an import-hf conversion of an externally pretrained encoder). Ignored
@@ -130,12 +133,20 @@ def synthetic_dataset(
     hw: Tuple[int, int], batch_size: int, seed: int = 0,
     nframes_per_session: int = 32, appearance: str = "flat",
     upright: bool = False,
+    render_hws: Tuple[Tuple[int, int], ...] = ((96, 72),),
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Infinite (images, masks) batches from procedural room sessions.
 
     appearance="textured" draws a fresh palette/texture/light per session
     (io/synthetic.py), so the model cannot bind color->class and must learn
-    spatial context — the honest training regime (ROADMAP #11)."""
+    spatial context — the honest training regime (ROADMAP #11).
+
+    `render_hws`: raycast resolutions sampled per session. Every frame is
+    resized to `hw` for the model, so this controls the upsample factor —
+    i.e. texture/boundary sharpness. Training only at 96x72 bakes in one
+    blur level while the pipeline consumes 128x96+ captures (the bench's
+    model-in-the-loop session); mixing resolutions closes that domain gap
+    (r4, docs/ROUND4.md item 2)."""
     from fusion3dseg_tpu.io import synthetic
 
     import cv2
@@ -148,7 +159,7 @@ def synthetic_dataset(
     while True:
         sess = synthetic.make_session(
             nframes=nframes_per_session,
-            depth_hw=(96, 72),
+            depth_hw=render_hws[int(rng.integers(len(render_hws)))],
             room=synthetic.RoomSpec(seed=int(rng.integers(1 << 30))),
             appearance=appearance,
             upright=upright,
@@ -377,6 +388,7 @@ def train(
         dataset = synthetic_dataset(
             config.input_hw, config.batch_size, config.seed + start,
             appearance=config.appearance, upright=config.upright,
+            render_hws=config.render_hws,
         )
     aug_rng = np.random.default_rng(config.seed + 7 + start)
 

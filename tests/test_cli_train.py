@@ -207,6 +207,24 @@ class TestTrainerSmoke:
         assert 0.0 <= stats["pixel_acc"] <= 1.0
         assert stats["per_class_iou"]
 
+    def test_multires_render_hws(self):
+        """--render-hws multi-sharpness training (r4): sessions raycast at
+        sampled resolutions but batches always arrive at input_hw, and the
+        CLI spec parser round-trips."""
+        from fusion3dseg_tpu import cli
+        from fusion3dseg_tpu.models.train import synthetic_dataset
+
+        assert cli.parse_hw_list("96x72,128x96") == ((96, 72), (128, 96))
+        assert cli.parse_hw_list("48X36") == ((48, 36),)
+
+        ds = synthetic_dataset((32, 32), 2, seed=9, nframes_per_session=2,
+                               appearance="textured",
+                               render_hws=((24, 18), (48, 36)))
+        for _ in range(3):
+            im, m = next(ds)
+            assert im.shape == (2, 32, 32, 3) and m.shape == (2, 32, 32)
+            assert im.dtype == np.uint8 and m.dtype == np.uint8
+
     def test_augment_batch_consistency(self):
         from fusion3dseg_tpu.models.train import augment_batch
 
