@@ -148,6 +148,10 @@ def main(argv=None):
     s.add_argument("--aug-strength", type=float, default=1.0,
                    help="scales every augmentation jitter range; >1 adds "
                         "cutout occluders (hardened regime for long runs)")
+    s.add_argument("--boundary-weight", type=float, default=1.0,
+                   help="loss up-weight for pixels touching a GT label edge "
+                        "(1.0 = plain cross entropy) — targets the "
+                        "boundary-dominated residual error")
     s.add_argument("--render-hws", default="96x72",
                    help="comma-separated raycast resolutions sampled per "
                         "synthetic session, e.g. '96x72,128x96,192x144' — "
@@ -357,6 +361,7 @@ def main(argv=None):
             lr_schedule=args.schedule, warmup_steps=args.warmup_steps,
             weight_decay=args.weight_decay, augment=args.augment,
             aug_strength=args.aug_strength,
+            boundary_weight=args.boundary_weight,
             render_hws=parse_hw_list(args.render_hws),
             resume=args.resume, init_params_npz=args.init_npz,
         )

@@ -45,6 +45,9 @@ class TrainConfig:
     weight_decay: float = 0.01
     augment: bool = False
     aug_strength: float = 1.0  # scales every augment_batch jitter range
+    # loss up-weight for pixels touching a GT label edge (1.0 = plain CE);
+    # targets the boundary-dominated residual error (docs/ROUND4.md item 2)
+    boundary_weight: float = 1.0
     # raycast resolutions sampled per session (synthetic dataset only);
     # multiple entries = multi-sharpness training (see synthetic_dataset)
     render_hws: Tuple[Tuple[int, int], ...] = ((96, 72),)
@@ -363,6 +366,7 @@ def train(
     params, opt_state, step, shardings = sharding.init_sharded_train(
         model, mesh, input_hw=config.input_hw, rng=config.seed,
         optimizer=make_optimizer(config),
+        boundary_weight=config.boundary_weight,
     )
     start = 0
     if (

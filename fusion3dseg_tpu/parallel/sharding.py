@@ -55,17 +55,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean softmax cross entropy; logits [B,H,W,C] f32, labels [B,H,W] int."""
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, weights: Optional[jax.Array] = None
+) -> jax.Array:
+    """Mean softmax cross entropy; logits [B,H,W,C] f32, labels [B,H,W] int.
+
+    `weights` (same shape as labels, f32) turns it into a weighted mean
+    sum(w·nll)/sum(w) — weights=None and all-ones weights are identical."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    return -jnp.mean(ll)
+    if weights is None:
+        return -jnp.mean(ll)
+    return -jnp.sum(ll * weights) / jnp.sum(weights)
 
 
-def make_train_step(model: nn.Module, optimizer: optax.GradientTransformation):
+def boundary_mask(labels: jax.Array) -> jax.Array:
+    """True where any 4-neighbor's label differs — both sides of every label
+    edge. Static-slice shift compares only (no gathers); labels [B,H,W] int."""
+    m = jnp.zeros(labels.shape, bool)
+    dv = labels[:, 1:, :] != labels[:, :-1, :]
+    dh = labels[:, :, 1:] != labels[:, :, :-1]
+    m = m.at[:, 1:, :].max(dv)
+    m = m.at[:, :-1, :].max(dv)
+    m = m.at[:, :, 1:].max(dh)
+    m = m.at[:, :, :-1].max(dh)
+    return m
+
+
+def make_train_step(
+    model: nn.Module,
+    optimizer: optax.GradientTransformation,
+    boundary_weight: float = 1.0,
+):
     """Returns train_step(params, opt_state, images, labels) -> (params,
     opt_state, loss). Pure function of boxed (Partitioned) params so sharding
-    metadata flows through jit."""
+    metadata flows through jit.
+
+    boundary_weight > 1 up-weights pixels on either side of a ground-truth
+    label edge in the loss by that factor. Motivation (docs/ROUND4.md):
+    70% of model-in-the-loop 3D disagreements touch a predicted-mask
+    boundary pixel (2D error 30% at boundaries vs 2.3% interior), and
+    decision-rule fixes were measured flat — the edge band is where the
+    remaining trainable error lives."""
 
     def loss_fn(params, images, labels):
         # integer images are normalized on-device: the host->device hop is
@@ -74,7 +105,13 @@ def make_train_step(model: nn.Module, optimizer: optax.GradientTransformation):
         if jnp.issubdtype(images.dtype, jnp.integer):
             images = images.astype(jnp.float32) / 255.0
         logits = model.apply({"params": params}, images)
-        return cross_entropy_loss(logits, labels.astype(jnp.int32))
+        labels = labels.astype(jnp.int32)
+        weights = None
+        if boundary_weight != 1.0:
+            weights = jnp.where(
+                boundary_mask(labels), jnp.float32(boundary_weight), 1.0
+            )
+        return cross_entropy_loss(logits, labels, weights)
 
     def train_step(params, opt_state, images, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
@@ -92,6 +129,7 @@ def init_sharded_train(
     learning_rate: float = 1e-4,
     rng: int = 0,
     optimizer: Optional[optax.GradientTransformation] = None,
+    boundary_weight: float = 1.0,
 ):
     """Initialize params + optimizer state with mesh shardings applied and
     return (params, opt_state, jitted_train_step, shardings dict).
@@ -143,7 +181,7 @@ def init_sharded_train(
     init_jit = jax.jit(init_fn, out_shardings=(psharding, osharding))
     params, opt_state = init_jit(key)
 
-    raw_step = make_train_step(model, optimizer)
+    raw_step = make_train_step(model, optimizer, boundary_weight=boundary_weight)
     step = jax.jit(
         raw_step,
         in_shardings=(psharding, osharding, data_sharding(mesh), data_sharding(mesh)),

@@ -63,6 +63,61 @@ class TestSharding:
             losses.append(float(loss))
         assert losses[-1] < losses[0]  # optimizer reduces loss on fixed batch
 
+    def test_boundary_mask_and_weighted_loss(self, rng):
+        # boundary_mask: both sides of every 4-neighbor label edge, nothing
+        # else, checked against an explicit neighbor sweep
+        labels = jnp.asarray(rng.integers(0, 3, (2, 9, 7)), jnp.int32)
+        m = np.asarray(sharding.boundary_mask(labels))
+        lab = np.asarray(labels)
+        expect = np.zeros_like(m)
+        for b in range(lab.shape[0]):
+            for y in range(lab.shape[1]):
+                for x in range(lab.shape[2]):
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < lab.shape[1] and 0 <= xx < lab.shape[2]:
+                            expect[b, y, x] |= lab[b, yy, xx] != lab[b, y, x]
+        np.testing.assert_array_equal(m, expect)
+        # constant labels -> no boundary anywhere
+        assert not np.asarray(
+            sharding.boundary_mask(jnp.full((1, 5, 5), 2, jnp.int32))
+        ).any()
+
+        # weighted CE: weights=None == all-ones weights; up-weighting a
+        # high-error region moves the loss toward that region's mean nll
+        logits = jnp.asarray(rng.normal(size=(2, 9, 7, 3)), jnp.float32)
+        base = float(sharding.cross_entropy_loss(logits, labels))
+        ones = float(sharding.cross_entropy_loss(
+            logits, labels, jnp.ones(labels.shape, jnp.float32)))
+        np.testing.assert_allclose(base, ones, rtol=1e-6)
+        w3 = jnp.where(sharding.boundary_mask(labels), 3.0, 1.0)
+        weighted = float(sharding.cross_entropy_loss(logits, labels, w3))
+        assert weighted != base
+
+    def test_train_step_boundary_weight(self):
+        # boundary_weight=1 reproduces the plain step bit-for-bit; >1 gives
+        # a different loss on a batch with label edges
+        mesh = sharding.make_mesh(8)
+        model = SegFormer(TINY)
+        rng = np.random.default_rng(3)
+        images = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+        labels = np.zeros((8, 32, 32), np.int32)
+        labels[:, :, 16:] = 5
+        labels = jnp.asarray(labels)
+        losses = {}
+        for bw in (1.0, 4.0):
+            params, opt_state, step, sh = sharding.init_sharded_train(
+                model, mesh, input_hw=(32, 32), learning_rate=1e-3,
+                boundary_weight=bw,
+            )
+            _, _, loss = step(
+                params, opt_state,
+                jax.device_put(images, sh["data"]),
+                jax.device_put(labels, sh["data"]),
+            )
+            losses[bw] = float(loss)
+        assert losses[1.0] != losses[4.0]
+
     def test_sharded_voting_matches_single(self, rng):
         mesh = sharding.make_mesh(8)
         F, HW, npts, nc = 16, 64, 8 * 25, 9
