@@ -597,24 +597,30 @@ def fusion_and_e2e(args, result):
         st, uv2pt = fusion_engine.fuse_session(*fargs, **fkw)
         n = int(np.asarray(st.n))
         pts_d = st.points[:n]
-        pts = np.asarray(pts_d)  # ONE device->host copy, reused throughout
-        # dispatch the vote program first (async), then build the adjacency
-        # on the HOST while the device votes: the native grid-hash build
-        # costs ~0.2 s on this core but removes both the 0.56 s device
-        # build and its 0.35 s [n,k] D2H through the ~20-40 MB/s tunnel.
-        # k=16 suffices for component connectivity (measured: identical
-        # instances vs k=32).
+        # start the ONE device->host points copy async, THEN dispatch the
+        # vote program so the transfer and the vote overlap; the host
+        # adjacency build (native grid hash, ~0.2 s on this core) runs
+        # while the device votes — removing both the 0.56 s device
+        # adjacency build and its 0.35 s [n,k] D2H through the ~20-40 MB/s
+        # tunnel. k=16 suffices for component connectivity (measured:
+        # identical instances vs k=32).
+        pts_d.copy_to_host_async()
         votes_e, classes_e = voting.vote_and_classify(
             uv2pt, fmasks, fcap, args.nclasses, threshold=0.5,
             filter_classes=None,
         )
+        classes_sl = classes_e[:n]
+        classes_sl.copy_to_host_async()
+        pts = np.asarray(pts_d)
         adj = io_native.radius_graph(pts, 2 * fkw["radius"], k=16)
-        classes_np = np.asarray(classes_e[:n])
+        classes_np = np.asarray(classes_sl)
         _, ids_e, info_e, _ = components.split_into_instances(
             classes_np, adj, args.nclasses, None, 100
         )
         for inf in info_e:  # minimal parent taxonomy for the merge
             inf["parent_id"] = inf["category_id"]
+        # merge_bb's auto backend keeps the whole OBB merge on HOST at this
+        # K*N — zero further device round-trips after the vote readback
         info_m, ids_m = merge_bb(outdir, info_e, ids_e, pts, verbose=False,
                                  points_dev=pts_d)
         return n, len(info_e), len(info_m)

@@ -233,6 +233,45 @@ class TestOBB:
         assert inter[0, 1] and inter[1, 0]
         assert not inter[0, 2] and not inter[1, 2]
 
+    def test_host_matches_device(self, rng):
+        # host NumPy path (merge_bb's small-K fast path) agrees with the
+        # device program: same intersection matrix, same boxes/counts up to
+        # f32-vs-f64 tolerance
+        a = rng.normal(size=(150, 3)) * 0.5
+        b = rng.normal(size=(120, 3)) * 0.5 + np.array([0.7, 0, 0])
+        c = rng.normal(size=(90, 3)) * 0.5 + 50
+        noise = rng.normal(size=(40, 3)) * 30  # ids < 0: ignored by both
+        pts = np.vstack([a, b, c, noise]).astype(np.float32)
+        ids = np.r_[
+            np.zeros(150), np.ones(120), np.full(90, 2), np.full(40, -1)
+        ].astype(np.int32)
+        inter_d, cen_d, ax_d, half_d, cnt_d = obb.obb_intersection_matrix(
+            jnp.asarray(pts), jnp.asarray(ids), 3
+        )
+        inter_h, cen_h, ax_h, half_h, cnt_h = obb.obb_intersection_matrix_np(
+            pts, ids, 3
+        )
+        np.testing.assert_array_equal(np.asarray(inter_d), inter_h)
+        np.testing.assert_array_equal(np.asarray(cnt_d), cnt_h)
+        np.testing.assert_allclose(np.asarray(cen_d), cen_h, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(half_d), half_h, atol=1e-3)
+        # axes match up to per-axis sign (eigh sign is arbitrary)
+        dots = np.einsum("kij,kij->ki", np.asarray(ax_d), ax_h)
+        np.testing.assert_allclose(np.abs(dots), 1.0, atol=1e-3)
+
+    def test_host_empty_and_degenerate(self):
+        # empty instance -> zero box, never intersects; <4 points -> excluded
+        pts = np.asarray(
+            [[0, 0, 0], [0.1, 0, 0], [0, 0.1, 0], [5, 5, 5]], np.float32
+        )
+        ids = np.asarray([0, 0, 0, 2], np.int32)  # id 1 empty, id 2 has 1 pt
+        inter, centers, axes, half, cnt = obb.obb_intersection_matrix_np(
+            pts, ids, 3
+        )
+        assert cnt.tolist() == [3, 0, 1]
+        assert not inter.any()  # all below the 4-point minimum
+        np.testing.assert_array_equal(half[1], 0)
+
     def test_merge_union_find(self):
         K = 4
         inter = np.zeros((K, K), bool)

@@ -207,6 +207,21 @@ class TestMeshUtils:
         assert offsets[4] == 6
 
 
+def _box_from_corners(corners):
+    """Invert obb_corners' sign-enumeration layout: corner[i] = center +
+    sum_d sign_d(i) * half_d * axes_d with signs (sx,sy,sz) nested (-1,1).
+    Returns (center [3], axes [3,3] rows, half [3])."""
+    center = corners.mean(axis=0)
+    vecs = np.stack([
+        (corners[4] - corners[0]) / 2.0,  # sx flips at bit 2
+        (corners[2] - corners[0]) / 2.0,  # sy flips at bit 1
+        (corners[1] - corners[0]) / 2.0,  # sz flips at bit 0
+    ])
+    half = np.linalg.norm(vecs, axis=1)
+    axes = vecs / np.maximum(half[:, None], 1e-12)
+    return center, axes, half
+
+
 class TestMergeBBHostRederive:
     """merge_bb re-derives post-merge OBBs on host (no second device
     dispatch): unmerged instances keep the device program's box, merged
@@ -257,6 +272,46 @@ class TestMergeBBHostRederive:
         far = next(i for i in new_info if i["id"] == 3)
         fc = np.asarray(far["bbox"], np.float32)
         assert fc.min() > 4.0 and fc.max() < 7.0
+
+    def test_backend_host_matches_device(self, tmp_path, rng):
+        """backend='host' (the auto default at pipeline scale) and
+        backend='device' produce identical merges, ids and areas."""
+        from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
+
+        pts, ids, info = self._scene(rng)
+        import copy
+
+        outs = {}
+        for be in ("host", "device"):
+            ni, nids = merge_bb(
+                tmp_path / be, copy.deepcopy(info), ids.copy(), pts,
+                verbose=False, backend=be,
+            )
+            outs[be] = (ni, nids)
+        ih, idh = outs["host"]
+        idv, iddv = outs["device"]
+        assert [i["id"] for i in ih] == [i["id"] for i in idv]
+        assert [i["area"] for i in ih] == [i["area"] for i in idv]
+        np.testing.assert_array_equal(idh, iddv)
+        # boxes can differ in axis choice on near-isotropic clusters (PCA is
+        # ill-conditioned there, f32 device vs f64 host); the contract is
+        # containment: every box holds all of its instance's member points
+        for variant, (ni, nids) in outs.items():
+            for inf in ni[1:]:
+                corners = np.asarray(inf["bbox"], np.float32)
+                members = pts[nids == inf["id"]]
+                c, ax, hf = _box_from_corners(corners)
+                local = (members - c) @ ax.T
+                assert np.all(np.abs(local) <= hf + 1e-3), variant
+
+    def test_bad_backend_raises(self, tmp_path, rng):
+        from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
+
+        pts, ids, info = self._scene(rng)
+        import pytest
+
+        with pytest.raises(ValueError):
+            merge_bb(tmp_path, info, ids, pts, verbose=False, backend="gpu")
 
     def test_host_adjacency_split_matches_device(self, rng):
         """The e2e path builds adjacency on host (native grid hash) while
