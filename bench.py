@@ -591,19 +591,16 @@ def fusion_and_e2e(args, result):
 
     fmasks = jnp.asarray(fsess.gt_mask.reshape(48, -1))
 
-    from fusion3dseg_tpu.io import native as io_native
-
     def e2e_once(outdir):
         st, uv2pt = fusion_engine.fuse_session(*fargs, **fkw)
         n = int(np.asarray(st.n))
         pts_d = st.points[:n]
         # start the ONE device->host points copy async, THEN dispatch the
         # vote program so the transfer and the vote overlap; the host
-        # adjacency build (native grid hash, ~0.2 s on this core) runs
-        # while the device votes — removing both the 0.56 s device
+        # instance split (native grid union-find, ~0.08 s on this core)
+        # runs while the device votes — removing the 0.56 s device
         # adjacency build and its 0.35 s [n,k] D2H through the ~20-40 MB/s
-        # tunnel. k=16 suffices for component connectivity (measured:
-        # identical instances vs k=32).
+        # tunnel entirely.
         pts_d.copy_to_host_async()
         votes_e, classes_e = voting.vote_and_classify(
             uv2pt, fmasks, fcap, args.nclasses, threshold=0.5,
@@ -612,10 +609,12 @@ def fusion_and_e2e(args, result):
         classes_sl = classes_e[:n]
         classes_sl.copy_to_host_async()
         pts = np.asarray(pts_d)
-        adj = io_native.radius_graph(pts, 2 * fkw["radius"], k=16)
         classes_np = np.asarray(classes_sl)
-        _, ids_e, info_e, _ = components.split_into_instances(
-            classes_np, adj, args.nclasses, None, 100
+        # one-pass native split: grid union-find over the FULL radius
+        # relation — no k-NN sort, no [n,k] adjacency table (0.08 s vs
+        # 0.23 s at this scale; ops/components.split_into_instances_by_radius)
+        _, ids_e, info_e, _ = components.split_into_instances_by_radius(
+            classes_np, pts, 2 * fkw["radius"], args.nclasses, None, 100
         )
         for inf in info_e:  # minimal parent taxonomy for the merge
             inf["parent_id"] = inf["category_id"]

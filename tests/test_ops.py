@@ -137,6 +137,31 @@ class TestComponents:
             np.testing.assert_array_equal(a[3], b[3])
             assert a[2] == b[2]
 
+    def test_by_radius_matches_adjacency_split(self, rng):
+        """split_into_instances_by_radius (one-pass native grid union-find,
+        the e2e fast path) must produce the same instances as the
+        adjacency-based split over FULL (uncapped) radius lists."""
+        n = 900
+        centers = rng.normal(size=(6, 3)) * 4
+        pts = (centers[rng.integers(0, 6, n)]
+               + rng.normal(size=(n, 3)) * 0.2).astype(np.float32)
+        classes = rng.integers(0, 3, n).astype(np.int32)
+        # some unclassified points too (nclasses sentinel)
+        classes[rng.integers(0, n, 40)] = 3
+        r = 0.35
+        lists = oracle.radius_neighbors(pts, r)
+        adj = neighbors.lists_to_adjacency(
+            lists, k=max(len(x) for x in lists))
+        for icls, minpts in ((None, 5), ([0, 2], 1), ([1], 30)):
+            a = components.split_into_instances(
+                classes, adj, 3, icls, minpts)
+            b = components.split_into_instances_by_radius(
+                classes, pts, r, 3, icls, minpts)
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+            np.testing.assert_array_equal(a[3], b[3])
+            assert a[2] == b[2]
+
     def test_matches_bfs_oracle(self, rng):
         # clustered random points so the graph has nontrivial components
         n = 400
