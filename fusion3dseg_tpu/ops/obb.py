@@ -147,6 +147,14 @@ def obb_intersection_matrix(
     return intersect, centers, axes, half, cnt
 
 
+# Host-vs-device crossover for the batched-OBB entry points: below this
+# K*N the host NumPy path beats the device program outright — the whole
+# compute (~K*N*20 flops) costs less than one remote dispatch (30-90 ms
+# tunnel latency) plus the [N] ids upload. 3e7 ~= 20 MFLOP ~= 15-30 ms on
+# this host's single core (docs/ROUND4.md item 3).
+HOST_OBB_MAX_KN = 3.0e7
+
+
 def instance_obbs_np(
     points: np.ndarray, ids: np.ndarray, num_instances: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -172,6 +180,21 @@ def instance_obbs_np(
         c, a, h = pca_obb_np(member)
         centers[k], axes[k], half[k] = c, a, h
     return centers, axes, half, cnt
+
+
+def instance_obb_corners_np(
+    points: np.ndarray, ids: np.ndarray, num_instances: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host counterpart of `instance_obb_corners`: (corners [K,8,3] f32,
+    counts [K] int32) with zero device contact — the right path when
+    K*N <= HOST_OBB_MAX_KN and the points already live on host
+    (pipeline/get3dseg.master_classes loads them from a ply)."""
+    centers, axes, half, cnt = instance_obbs_np(points, ids, num_instances)
+    corners = np.stack([
+        obb_corners_np(centers[k], axes[k], half[k])
+        for k in range(num_instances)
+    ]) if num_instances else np.zeros((0, 8, 3), np.float32)
+    return corners.astype(np.float32), cnt
 
 
 def obb_intersection_matrix_np(

@@ -322,13 +322,22 @@ def master_classes(dirname, taxonomy: Optional[tax.Taxonomy] = None, verbose: bo
     palette = np.asarray(meta["colors"], np.float64) / 255.0
 
     # batched OBBs for every instance id at once (replaces the per-instance
-    # open3d loop, get3DSeg.py:424-448)
+    # open3d loop, get3DSeg.py:424-448); small K*N stays on HOST — the
+    # points were just read from a ply, and the device program would cost
+    # a 30-90 ms dispatch plus the points+ids upload (docs/ROUND4.md #3)
     num_inst = int(ids.max()) + 1 if len(ids) else 0
     with timing.span("master_classes.obbs", verbose=verbose):
-        corners, counts = obb_ops.instance_obb_corners(
-            jnp.asarray(points, jnp.float32), jnp.asarray(ids, jnp.int32), num_inst
-        )
-        corners, counts = np.asarray(corners), np.asarray(counts)
+        if num_inst * len(points) <= obb_ops.HOST_OBB_MAX_KN:
+            corners, counts = obb_ops.instance_obb_corners_np(
+                np.asarray(points, np.float32), np.asarray(ids, np.int32),
+                num_inst,
+            )
+        else:
+            corners, counts = obb_ops.instance_obb_corners(
+                jnp.asarray(points, jnp.float32), jnp.asarray(ids, jnp.int32),
+                num_inst,
+            )
+            corners, counts = np.asarray(corners), np.asarray(counts)
 
     final_info = []
     area_unclassified = 0

@@ -25,11 +25,9 @@ from fusion3dseg_tpu.io import artifacts
 from fusion3dseg_tpu.ops import obb as obb_ops
 
 
-# backend="auto" crossover: below this K*N the host NumPy OBB+intersection
-# beats the device program outright — the whole host compute (~K*N*20 flops)
-# costs less than one remote dispatch (30-90 ms tunnel latency) plus the [N]
-# ids upload. 3e7 ~= 20 MFLOP ~= 15-30 ms on this host's single core.
-_HOST_OBB_MAX_KN = 3.0e7
+# backend="auto" crossover (shared with master_classes): see
+# ops/obb.py HOST_OBB_MAX_KN
+_HOST_OBB_MAX_KN = obb_ops.HOST_OBB_MAX_KN
 
 
 def merge_bb(dir_name, info_sem: List[dict], id_info_per_point, pcd_points,
