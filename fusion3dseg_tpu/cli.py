@@ -152,6 +152,11 @@ def main(argv=None):
                    help="loss up-weight for pixels touching a GT label edge "
                         "(1.0 = plain cross entropy) — targets the "
                         "boundary-dominated residual error")
+    s.add_argument("--ema-decay", type=float, default=0.0,
+                   help="keep an exponential-moving-average param tree "
+                        "(e.g. 0.999) updated inside the step program; "
+                        "committed as <checkpoint-dir>/ema (a Segmenter2D-"
+                        "compatible checkpoint dir)")
     s.add_argument("--render-hws", default="96x72",
                    help="comma-separated raycast resolutions sampled per "
                         "synthetic session, e.g. '96x72,128x96,192x144' — "
@@ -362,6 +367,7 @@ def main(argv=None):
             weight_decay=args.weight_decay, augment=args.augment,
             aug_strength=args.aug_strength,
             boundary_weight=args.boundary_weight,
+            ema_decay=args.ema_decay,
             render_hws=parse_hw_list(args.render_hws),
             resume=args.resume, init_params_npz=args.init_npz,
         )
@@ -385,6 +391,19 @@ def main(argv=None):
                                        upright=args.upright)
             print(f"held-out miou: {stats['miou']:.4f} "
                   f"pixel_acc: {stats['pixel_acc']:.4f}")
+            from pathlib import Path as _P
+
+            if (_P(args.checkpoint_dir) / "ema" / "params").exists():
+                seg_e = Segmenter2D(
+                    config=SegFormerConfig.named(args.model),
+                    checkpoint_dir=_P(args.checkpoint_dir) / "ema",
+                    input_hw=cfg.input_hw, batch_size=args.batch_size,
+                )
+                stats_e = evaluate_synthetic(
+                    seg_e, appearance=args.appearance, upright=args.upright
+                )
+                print(f"held-out miou (EMA): {stats_e['miou']:.4f} "
+                      f"pixel_acc: {stats_e['pixel_acc']:.4f}")
 
     elif args.cmd == "import-hf":
         import flax.linen as nn

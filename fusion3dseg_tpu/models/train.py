@@ -48,6 +48,9 @@ class TrainConfig:
     # loss up-weight for pixels touching a GT label edge (1.0 = plain CE);
     # targets the boundary-dominated residual error (docs/ROUND4.md item 2)
     boundary_weight: float = 1.0
+    # exponential-moving-average decay for an eval/export param tree
+    # (0 = off); updated inside the step program (parallel/sharding.py)
+    ema_decay: float = 0.0
     # raycast resolutions sampled per session (synthetic dataset only);
     # multiple entries = multi-sharpness training (see synthetic_dataset)
     render_hws: Tuple[Tuple[int, int], ...] = ((96, 72),)
@@ -280,7 +283,8 @@ def evaluate_synthetic(
     }
 
 
-def save_train_state(checkpoint_dir, params, opt_state, it: int) -> None:
+def save_train_state(checkpoint_dir, params, opt_state, it: int,
+                     ema=None) -> None:
     """Full resumable snapshot (params + optimizer state + step count).
 
     Atomic commit protocol (review finding r2 — the fusion checkpoint's
@@ -290,7 +294,12 @@ def save_train_state(checkpoint_dir, params, opt_state, it: int) -> None:
     mid-save leaves the previous commit fully intact — params and
     opt_state can never come from different steps. <dir>/params is
     maintained as a symlink to the committed snapshot so the
-    Segmenter2D(checkpoint_dir=...) layout keeps working."""
+    Segmenter2D(checkpoint_dir=...) layout keeps working.
+
+    `ema` (optional EMA param tree) additionally commits ema_params_<it>
+    and maintains <dir>/ema/params — a directory Segmenter2D can take as
+    checkpoint_dir unchanged, so the EMA weights evaluate/ship through
+    every existing loader."""
     import os
     import shutil
     from pathlib import Path
@@ -301,25 +310,36 @@ def save_train_state(checkpoint_dir, params, opt_state, it: int) -> None:
     d.mkdir(parents=True, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
     pdir, odir = f"params_{it:08d}", f"opt_state_{it:08d}"
+    edir = f"ema_params_{it:08d}"
     ckptr.save(d.absolute() / pdir, params, force=True)
     flat, _ = jax.tree.flatten(opt_state)
     ckptr.save(d.absolute() / odir, flat, force=True)
+    if ema is not None:
+        ckptr.save(d.absolute() / edir, ema, force=True)
     ckptr.wait_until_finished()
     # commit point — tmp + os.replace so a mid-write crash can never leave
     # a truncated step.txt (which would brick --resume)
     stmp = d / ".step_tmp"
     stmp.write_text(str(it))
     os.replace(stmp, d / "step.txt")
-    link = d / "params"
-    if link.exists() and not link.is_symlink():
-        shutil.rmtree(link)  # legacy pre-r3 real directory
-    tmp = d / ".params_tmp"
-    if tmp.is_symlink() or tmp.exists():
-        tmp.unlink()
-    os.symlink(pdir, tmp)
-    os.replace(tmp, link)  # atomic swap of the compatible view
-    for p in list(d.glob("params_????????")) + list(d.glob("opt_state_????????")):
-        if p.name not in (pdir, odir):
+
+    def _swap_link(link: Path, target: str) -> None:
+        if link.exists() and not link.is_symlink():
+            shutil.rmtree(link)  # legacy pre-r3 real directory
+        tmp = link.parent / f".{link.name}_tmp"
+        if tmp.is_symlink() or tmp.exists():
+            tmp.unlink()
+        os.symlink(target, tmp)
+        os.replace(tmp, link)  # atomic swap of the compatible view
+
+    _swap_link(d / "params", pdir)
+    if ema is not None:
+        (d / "ema").mkdir(exist_ok=True)
+        _swap_link(d / "ema" / "params", os.path.join("..", edir))
+    keep = (pdir, odir, edir)
+    for p in (list(d.glob("params_????????")) + list(d.glob("opt_state_????????"))
+              + list(d.glob("ema_params_????????"))):
+        if p.name not in keep:
             shutil.rmtree(p, ignore_errors=True)
 
 
@@ -352,6 +372,26 @@ def load_train_state(checkpoint_dir, like_params, like_opt_state):
     return params, opt_state, it
 
 
+def load_ema(checkpoint_dir, like_params):
+    """Restore the committed EMA param tree, or None when the snapshot has
+    none (run trained with ema_decay=0 or pre-EMA layout)."""
+    from pathlib import Path
+
+    import orbax.checkpoint as ocp
+
+    d = Path(checkpoint_dir)
+    it = int((d / "step.txt").read_text())
+    edir = d / f"ema_params_{it:08d}"
+    if not edir.is_dir():
+        return None
+    return ocp.StandardCheckpointer().restore(
+        edir.absolute(),
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), like_params
+        ),
+    )
+
+
 def train(
     config: TrainConfig = TrainConfig(),
     dataset: Optional[Iterator] = None,
@@ -367,7 +407,9 @@ def train(
         model, mesh, input_hw=config.input_hw, rng=config.seed,
         optimizer=make_optimizer(config),
         boundary_weight=config.boundary_weight,
+        ema_decay=config.ema_decay,
     )
+    ema = None
     start = 0
     if (
         config.resume
@@ -379,6 +421,10 @@ def train(
         )
         params = jax.tree.map(jax.device_put, host_p, shardings["params"])
         opt_state = jax.tree.map(jax.device_put, host_o, shardings["opt_state"])
+        if config.ema_decay > 0:
+            host_e = load_ema(config.checkpoint_dir, params)
+            if host_e is not None:
+                ema = jax.tree.map(jax.device_put, host_e, shardings["params"])
         if verbose:
             print(f"resumed from step {start}")
     elif config.init_params_npz:
@@ -388,6 +434,10 @@ def train(
         params = jax.tree.map(jax.device_put, host_p, shardings["params"])
         if verbose:
             print(f"initialized params from {config.init_params_npz}")
+    if config.ema_decay > 0 and ema is None:
+        # one jitted copy program: `ema = params` would alias the donated
+        # params buffer; eager per-leaf copies cost a dispatch per leaf
+        ema = shardings["ema_init"](params)
     if dataset is None:
         dataset = synthetic_dataset(
             config.input_hw, config.batch_size, config.seed + start,
@@ -411,17 +461,24 @@ def train(
         # block_until_ready does not block on the axon platform, so a span
         # would record microseconds and contradict the printed it/s rate —
         # the log line's wall-clock rate is the honest number
-        params, opt_state, loss = step(params, opt_state, images, masks)
+        if ema is not None:
+            params, opt_state, ema, loss = step(
+                params, opt_state, ema, images, masks
+            )
+        else:
+            params, opt_state, loss = step(params, opt_state, images, masks)
         if verbose and (it + 1) % config.log_every == 0:
             lval = float(np.asarray(loss))
             rate = (it + 1 - start) / (time.perf_counter() - t0)
             print(f"step {it + 1}/{config.steps} loss={lval:.4f} ({rate:.2f} it/s)")
         if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
-            save_train_state(config.checkpoint_dir, params, opt_state, it + 1)
+            save_train_state(config.checkpoint_dir, params, opt_state, it + 1,
+                             ema=ema)
             last_saved = it + 1
     if config.checkpoint_dir and last_saved != config.steps:
         # skip the duplicate final save when the loop's last iteration
         # already committed this exact state (a full orbax serialize costs
         # minutes for b1 through the tunnel host)
-        save_train_state(config.checkpoint_dir, params, opt_state, config.steps)
+        save_train_state(config.checkpoint_dir, params, opt_state,
+                         config.steps, ema=ema)
     return params, (float(np.asarray(loss)) if loss is not None else None)
