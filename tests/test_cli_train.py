@@ -167,6 +167,42 @@ class TestTrainerSmoke:
         params, loss = train(cfg, mesh=mesh, verbose=False)
         assert loss is not None and np.isfinite(loss)
 
+    def test_train_loop_ema_checkpoint(self, tmp_path):
+        """train() with ema_decay > 0 commits the EMA view alongside params
+        and resume restores it (the loop wiring, not just the step)."""
+        from fusion3dseg_tpu.models.segformer import SegFormerConfig
+        from fusion3dseg_tpu.models.train import TrainConfig, load_ema, train
+        from fusion3dseg_tpu.parallel import sharding
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        mesh = sharding.make_mesh(2, tp=1)
+        ck = tmp_path / "ck"
+        cfg = TrainConfig(model=tiny, input_hw=(32, 32), batch_size=2,
+                          steps=4, log_every=100, learning_rate=1e-3,
+                          checkpoint_dir=str(ck), ema_decay=0.9)
+        params, loss = train(cfg, mesh=mesh, verbose=False)
+        assert (ck / "ema" / "params").exists()
+        ema = load_ema(ck, params)
+        assert ema is not None
+        # EMA lags the live params after a few steps (they started equal)
+        import jax
+
+        la, lb = jax.tree.leaves(params), jax.tree.leaves(ema)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(la, lb)
+        )
+        # resume path restores the EMA tree and keeps training
+        cfg2 = TrainConfig(model=tiny, input_hw=(32, 32), batch_size=2,
+                           steps=6, log_every=100, learning_rate=1e-3,
+                           checkpoint_dir=str(ck), ema_decay=0.9, resume=True)
+        params2, loss2 = train(cfg2, mesh=mesh, verbose=False)
+        assert np.isfinite(loss2)
+        assert load_ema(ck, params2) is not None
+
     def test_textured_dataset_and_miou_eval(self):
         """Textured sessions train + held-out mIoU evaluation plumbing
         (VERDICT r1 #5: the 2D demo must not reduce to a color lookup)."""

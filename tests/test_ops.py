@@ -258,6 +258,27 @@ class TestOBB:
         assert inter[0, 1] and inter[1, 0]
         assert not inter[0, 2] and not inter[1, 2]
 
+    def test_hash_fallback_degenerate_extent(self, rng):
+        """A radius tiny vs the cloud extent (> 2^24 cells) routes the
+        native build to the hash-grid fallback; semantics are unchanged
+        (self + exact duplicates within radius)."""
+        from fusion3dseg_tpu.io import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        pts = rng.uniform(0, 100, (500, 3)).astype(np.float32)
+        pts[100] = pts[7]  # exact duplicate pair
+        adj = native.radius_graph(pts, 1e-6, k=4)  # ~1e8 cells/axis
+        # every row starts with a self/duplicate set
+        row7 = set(adj[7][adj[7] >= 0].tolist())
+        assert row7 == {7, 100}
+        row42 = set(adj[42][adj[42] >= 0].tolist())
+        assert row42 == {42}
+        cc = native.connected_components(pts, 1e-6)
+        assert cc[100] == cc[7] and len(np.unique(cc)) == 499
+
     def test_host_matches_device(self, rng):
         # host NumPy path (merge_bb's small-K fast path) agrees with the
         # device program: same intersection matrix, same boxes/counts up to
