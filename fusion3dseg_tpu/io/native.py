@@ -1,9 +1,12 @@
-"""ctypes bindings to the native C++ grid-hash neighbor library.
+"""ctypes bindings to the native C++ grid neighbor library.
 
 Host-side counterpart of ops/neighbors.py (device path): builds fixed-degree
 or CSR radius adjacencies and connected components for clouds that exceed
 device memory, replacing the reference's external `ConnectedGraph` binary
 (planeUtils.py:37-49) and sklearn KDTree adjacency (fusion.py:374-375).
+The library uses a counting-sorted DENSE cell grid (queries stream
+contiguous z-runs; see native/neighbor_graph.cpp) with a spatial-hash
+fallback for degenerate extents.
 
 The library auto-builds on first use via `make -C native` (g++ is in the
 image); set FUSION3DSEG_NO_NATIVE=1 to force the pure-NumPy fallback.
