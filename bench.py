@@ -113,7 +113,8 @@ def emit_discovery_failure(attempts, timeout):
     try:
         with open(LAST_RECORD_PATH) as f:
             prev = json.load(f)
-        rec["last_good"] = {"ts": prev.get("ts"), "value": prev.get("value")}
+        rec["last_good"] = {"ts": prev.get("ts"), "value": prev.get("value"),
+                            "vs_baseline": prev.get("vs_baseline")}
     except Exception:
         pass
     print(json.dumps(rec), flush=True)
@@ -571,12 +572,23 @@ def fusion_and_e2e(args, result):
     n_lfull = int(np.asarray(st_full.n))
     st_n, _ = fusion_engine.fuse_session(*largs, **fkw)
     st_s, _ = fusion_engine.fuse_session(*largs, **fkw_split)
-    dup_n = (int(np.asarray(st_n.n)) - n_lfull) / n_lfull
-    dup_s = (int(np.asarray(st_s.n)) - n_lfull) / n_lfull
+    n_n, n_s = int(np.asarray(st_n.n)), int(np.asarray(st_s.n))
+    dup_n = (n_n - n_lfull) / n_lfull
+    dup_s = (n_s - n_lfull) / n_lfull
+    # a run that fills the buffer drop-routes further appends, silently
+    # CLAMPING its duplicate fraction — flag it so the policy comparison
+    # is never read off a capacity artifact (review finding r4)
+    sat = {"newest": n_n >= fcap, "split": n_s >= fcap,
+           "full": n_lfull >= fcap}
     log(f"loop-closure (turns=2, window {awin128}): duplicates "
-        f"newest {dup_n:+.3%} vs split {dup_s:+.3%} (full merge {n_lfull} pts)")
+        f"newest {dup_n:+.3%} vs split {dup_s:+.3%} (full merge {n_lfull} pts"
+        + (f"; SATURATED at cap {fcap}: "
+           + ",".join(k for k, v in sat.items() if v) if any(sat.values())
+           else "") + ")")
     result["loopclosure_dup_frac_newest"] = round(dup_n, 4)
     result["loopclosure_dup_frac_split"] = round(dup_s, 4)
+    if any(sat.values()):
+        result["loopclosure_saturated"] = [k for k, v in sat.items() if v]
 
     if args.no_e2e_stat:
         return

@@ -22,11 +22,24 @@ import argparse
 
 
 def parse_hw_list(spec: str):
-    """'96x72,128x96' -> ((96, 72), (128, 96)) — the --render-hws format."""
+    """'96x72,128x96' -> ((96, 72), (128, 96)) — the --render-hws format.
+
+    Used as an argparse `type`, so malformed input surfaces as a clean
+    usage error naming the expected format instead of a traceback."""
     out = []
     for hw in spec.split(","):
-        h, w = hw.lower().split("x")
-        out.append((int(h), int(w)))
+        try:
+            h, w = hw.lower().split("x")
+            out.append((int(h), int(w)))
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"bad resolution {hw!r} in {spec!r}: expected "
+                "'HxW' or 'HxW,HxW,...' (e.g. '96x72,128x96')"
+            )
+        if out[-1][0] <= 0 or out[-1][1] <= 0:
+            raise argparse.ArgumentTypeError(
+                f"non-positive resolution {hw!r} in {spec!r}"
+            )
     return tuple(out)
 
 
@@ -157,7 +170,7 @@ def main(argv=None):
                         "(e.g. 0.999) updated inside the step program; "
                         "committed as <checkpoint-dir>/ema (a Segmenter2D-"
                         "compatible checkpoint dir)")
-    s.add_argument("--render-hws", default="96x72",
+    s.add_argument("--render-hws", default="96x72", type=parse_hw_list,
                    help="comma-separated raycast resolutions sampled per "
                         "synthetic session, e.g. '96x72,128x96,192x144' — "
                         "multi-sharpness training (frames are resized to "
@@ -368,7 +381,7 @@ def main(argv=None):
             aug_strength=args.aug_strength,
             boundary_weight=args.boundary_weight,
             ema_decay=args.ema_decay,
-            render_hws=parse_hw_list(args.render_hws),
+            render_hws=args.render_hws,
             resume=args.resume, init_params_npz=args.init_npz,
         )
         ds = None

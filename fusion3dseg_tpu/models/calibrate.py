@@ -101,7 +101,9 @@ def sweep_conf_threshold(
                 cv2.resize(im, (iw, ih), interpolation=cv2.INTER_LINEAR)
                 for im in chunk
             ]).astype(np.float32) / 255.0
-            _, sem, conf, _ = segmenter._infer_full(
+            # (sem, conf)-only program: no full-res logits output and no
+            # connected-components fixpoint loop — the sweep needs neither
+            sem, conf = segmenter._infer_conf(
                 segmenter.params, jnp.asarray(resized), jnp.float32(0.0),
                 hd, wd,
             )

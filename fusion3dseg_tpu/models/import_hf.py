@@ -127,16 +127,18 @@ def infer_config_from_state_dict(
     )
 
 
+# the converters propagate None so `put` can skip an individually-missing
+# tensor under strict=False (not just whole missing blocks)
 def _conv(w):  # torch [out, in, kh, kw] -> flax [kh, kw, in, out]
-    return _np(w).transpose(2, 3, 1, 0).astype(np.float32)
+    return None if w is None else _np(w).transpose(2, 3, 1, 0).astype(np.float32)
 
 
 def _dense(w):  # torch [out, in] -> flax [in, out]
-    return _np(w).T.astype(np.float32)
+    return None if w is None else _np(w).T.astype(np.float32)
 
 
 def _vec(w):
-    return _np(w).astype(np.float32)
+    return None if w is None else _np(w).astype(np.float32)
 
 
 def params_from_hf_segformer(

@@ -103,7 +103,11 @@ def augment_batch(
     masks[flip] = masks[flip, :, ::-1]
     # per-image contrast in 1±0.3s, brightness in ±32s, per-channel gain in
     # 1±0.15s — composed as one affine LUT-free pass
-    contrast = rng.uniform(1 - 0.3 * s, 1 + 0.3 * s, (n, 1, 1, 1)).astype(np.float32)
+    # lower bounds clamp at 0 (like gains) so large strengths widen the
+    # jitter without ever inverting polarity
+    contrast = rng.uniform(
+        max(0.0, 1 - 0.3 * s), 1 + 0.3 * s, (n, 1, 1, 1)
+    ).astype(np.float32)
     bright = rng.uniform(-32 * s, 32 * s, (n, 1, 1, 1)).astype(np.float32)
     gains = rng.uniform(
         max(0.0, 1 - 0.15 * s), 1 + 0.15 * s, (n, 1, 1, 3)
@@ -336,9 +340,16 @@ def save_train_state(checkpoint_dir, params, opt_state, it: int,
     if ema is not None:
         (d / "ema").mkdir(exist_ok=True)
         _swap_link(d / "ema" / "params", os.path.join("..", edir))
-    keep = (pdir, odir, edir)
-    for p in (list(d.glob("params_????????")) + list(d.glob("opt_state_????????"))
-              + list(d.glob("ema_params_????????"))):
+    keep = {pdir, odir}
+    prune = list(d.glob("params_????????")) + list(d.glob("opt_state_????????"))
+    if ema is not None:
+        # prune stale EMA snapshots only when committing a fresh one: a run
+        # continued WITHOUT --ema-decay must not destroy the EMA weights a
+        # previous run committed (they stay at their old step; load_ema
+        # returns None for them, so resume never mixes steps silently)
+        keep.add(edir)
+        prune += list(d.glob("ema_params_????????"))
+    for p in prune:
         if p.name not in keep:
             shutil.rmtree(p, ignore_errors=True)
 

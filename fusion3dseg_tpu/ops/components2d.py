@@ -102,30 +102,40 @@ def panoptic_from_semantic(
     info = []
     next_id = 1
 
+    # single-pass assignment: one unique(return_inverse) per family instead
+    # of a full-image boolean rescan per segment (a noisy VGA mask can have
+    # hundreds of components)
     thing = (sem < n_thing) & (sem != unclassified)
     if thing.any():
-        roots, counts = np.unique(components[thing], return_counts=True)
-        for root, area in zip(roots.tolist(), counts.tolist()):
+        roots, inverse, counts = np.unique(
+            components[thing], return_inverse=True, return_counts=True
+        )
+        seg_id = np.zeros(len(roots), np.int32)  # 0 = folded into void
+        for k, (root, area) in enumerate(zip(roots.tolist(), counts.tolist())):
             if area < min_area:
                 continue
-            m = thing & (components == root)
-            idimage[m] = next_id
+            seg_id[k] = next_id
             info.append({
                 "id": next_id, "isthing": True,
                 "category_id": int(sem.flat[root]), "area": int(area),
             })
             next_id += 1
+        idimage[thing] = seg_id[inverse]
 
     stuff = (~thing) & (sem != unclassified)
     if stuff.any():
-        for cid, area in zip(*np.unique(sem[stuff], return_counts=True)):
-            m = stuff & (sem == cid)
-            idimage[m] = next_id
+        cids, inverse, counts = np.unique(
+            sem[stuff], return_inverse=True, return_counts=True
+        )
+        seg_id = np.zeros(len(cids), np.int32)
+        for k, (cid, area) in enumerate(zip(cids.tolist(), counts.tolist())):
+            seg_id[k] = next_id
             info.append({
                 "id": next_id, "isthing": False,
                 "category_id": int(cid), "area": int(area),
             })
             next_id += 1
+        idimage[stuff] = seg_id[inverse]
 
     return idimage, info
 

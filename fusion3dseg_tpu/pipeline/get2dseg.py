@@ -87,9 +87,11 @@ class Segmenter2D:
         else:
             self.model, self.params = create_model(config, seed, self.input_hw)
 
-        @partial(jax.jit, static_argnames=("out_h", "out_w"))
-        def _infer(params, images, conf_threshold, out_h, out_w):
-            # images: [B, H, W, 3] f32 [0,1]
+        def _logits_sem_conf(params, images, conf_threshold, out_h, out_w):
+            # the ONE shared semantic path (apply -> resize -> argmax ->
+            # softmax-conf -> threshold), traced into each jitted variant
+            # below so the semantic/conf definitions can never drift between
+            # predict_batch, predict and the calibration sweep
             logits = self.model.apply({"params": params}, images)  # [B,H,W,C]
             logits = jax.image.resize(
                 logits, (images.shape[0], out_h, out_w, logits.shape[-1]),
@@ -99,9 +101,25 @@ class Segmenter2D:
             conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
             nclasses = logits.shape[-1] - 1
             sem = jnp.where(conf < conf_threshold, nclasses, sem)
-            return sem.astype(jnp.uint8)
+            return logits, sem.astype(jnp.uint8), conf
+
+        @partial(jax.jit, static_argnames=("out_h", "out_w"))
+        def _infer(params, images, conf_threshold, out_h, out_w):
+            # images: [B, H, W, 3] f32 [0,1]
+            return _logits_sem_conf(params, images, conf_threshold,
+                                    out_h, out_w)[1]
 
         self._infer = _infer
+
+        @partial(jax.jit, static_argnames=("out_h", "out_w"))
+        def _infer_conf(params, images, conf_threshold, out_h, out_w):
+            # (sem, conf) only — the calibration sweep's program: no
+            # full-resolution logits output, no connected-components loop
+            _, sem, conf = _logits_sem_conf(params, images, conf_threshold,
+                                            out_h, out_w)
+            return sem, conf
+
+        self._infer_conf = _infer_conf
 
         @partial(jax.jit, static_argnames=("out_h", "out_w"))
         def _infer_full(params, images, conf_threshold, out_h, out_w):
@@ -112,17 +130,11 @@ class Segmenter2D:
             # tunnel dispatch
             from fusion3dseg_tpu.ops import components2d
 
-            logits = self.model.apply({"params": params}, images)
-            logits = jax.image.resize(
-                logits, (images.shape[0], out_h, out_w, logits.shape[-1]),
-                method="bilinear",
-            )
-            sem = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
-            nclasses = logits.shape[-1] - 1
-            sem = jnp.where(conf < conf_threshold, nclasses, sem)
-            comp = components2d.label_components_2d_batch(sem)
-            return logits, sem.astype(jnp.uint8), conf, comp
+            logits, sem, conf = _logits_sem_conf(params, images,
+                                                 conf_threshold, out_h, out_w)
+            comp = components2d.label_components_2d_batch(
+                sem.astype(jnp.int32))
+            return logits, sem, conf, comp
 
         self._infer_full = _infer_full
 

@@ -252,6 +252,14 @@ class TestTrainerSmoke:
 
         assert cli.parse_hw_list("96x72,128x96") == ((96, 72), (128, 96))
         assert cli.parse_hw_list("48X36") == ((48, 36),)
+        # malformed specs surface as argparse usage errors, not tracebacks
+        import argparse
+
+        import pytest
+
+        for bad in ("96", "96x72;128x96", "ax b", "0x72", "96x-2"):
+            with pytest.raises(argparse.ArgumentTypeError):
+                cli.parse_hw_list(bad)
 
         ds = synthetic_dataset((32, 32), 2, seed=9, nframes_per_session=2,
                                appearance="textured",

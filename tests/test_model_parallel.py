@@ -180,6 +180,15 @@ class TestSharding:
         d2 = tmp_path / "ck2"
         mtrain.save_train_state(d2, params, opt, 3)
         assert mtrain.load_ema(d2, params) is None
+        # a later save WITHOUT ema must not destroy a previously committed
+        # EMA snapshot (review finding r4): the old ema_params_<it> stays,
+        # and load_ema correctly reports None for the new step
+        mtrain.save_train_state(d, params, opt, 9)
+        assert (d / "ema_params_00000007").is_dir()
+        assert mtrain.load_ema(d, params) is None
+        via_view = load_checkpoint(d / "ema", params)
+        np.testing.assert_array_equal(
+            np.asarray(via_view["a"]), np.asarray(ema["a"]))
 
     def test_sharded_voting_matches_single(self, rng):
         mesh = sharding.make_mesh(8)
