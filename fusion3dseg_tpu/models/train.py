@@ -59,6 +59,11 @@ class TrainConfig:
     # an import-hf conversion of an externally pretrained encoder). Ignored
     # when an orbax resume state exists; optimizer state starts fresh.
     init_params_npz: Optional[str] = None
+    # batches prepared ahead by a producer thread (0 = synchronous). Host
+    # batch synthesis (~190 ms raycast+resize+augment) otherwise serializes
+    # with the step's host->device upload (~60-100 ms of socket writes that
+    # release the GIL under the tunnel) — the producer thread overlaps them
+    prefetch: int = 2
 
 
 def make_optimizer(config: TrainConfig):
@@ -76,6 +81,25 @@ def make_optimizer(config: TrainConfig):
     else:
         sched = config.learning_rate
     return optax.adamw(sched, weight_decay=config.weight_decay)
+
+
+# pregenerated unit-normal pool for augment_batch's sensor noise: drawing
+# fresh standard_normal per batch is the single most expensive host op in
+# the data path (44 of 82 ms/batch at 8x256² on this core); random offsets
+# into a fixed pool are statistically equivalent for augmentation and cost
+# one strided add. Lazily sized to 2x the largest batch requested.
+_NOISE_POOL: Optional[np.ndarray] = None
+
+
+def _noise_like(shape, rng: np.random.Generator) -> np.ndarray:
+    global _NOISE_POOL
+    need = int(np.prod(shape))
+    if _NOISE_POOL is None or _NOISE_POOL.size < 2 * need:
+        _NOISE_POOL = np.random.default_rng(0xF00D).standard_normal(
+            max(2 * need, 1 << 20), dtype=np.float32
+        )
+    off = int(rng.integers(0, _NOISE_POOL.size - need + 1))
+    return _NOISE_POOL[off : off + need].reshape(shape)
 
 
 def augment_batch(
@@ -118,9 +142,9 @@ def augment_batch(
     gamma = np.exp(rng.normal(0.0, 0.12 * s, (n, 1, 1, 1))).astype(np.float32)
     out = np.clip(out, 0.0, 255.0)
     out = 255.0 * (out / 255.0) ** gamma
-    # additive sensor noise, per-image sigma in [0, 5s]
+    # additive sensor noise, per-image sigma in [0, 5s] (pool-sampled)
     sigma = rng.uniform(0.0, 5.0 * s, (n, 1, 1, 1)).astype(np.float32)
-    out += rng.standard_normal(out.shape, dtype=np.float32) * sigma
+    out += _noise_like(out.shape, rng) * sigma
     if s > 1.0:
         # cutout: paste a random uniform-color rectangle over the IMAGE only
         # (labels kept — random erasing for dense prediction: the model must
@@ -187,6 +211,48 @@ def synthetic_dataset(
         for i in range(0, len(order) - batch_size + 1, batch_size):
             sel = order[i : i + batch_size]
             yield imgs[sel], masks[sel]
+
+
+def prefetch_batches(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` in a daemon producer thread, up to `depth` items ahead.
+
+    Order-preserving (single producer), exception-propagating (a raised
+    exception re-raises at the consumer's next pull), and shutdown-safe
+    (closing the generator unblocks a producer stuck on a full queue).
+    Used by `train` to overlap host batch synthesis with the train step's
+    host->device upload; the raycast/cv2/numpy work and the tunnel's
+    socket writes both release the GIL, so one extra thread suffices.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def producer():
+        try:
+            while not stop.is_set():
+                q.put(next(it))
+        except BaseException as e:  # noqa: BLE001 — includes StopIteration
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True,
+                         name="train-batch-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, StopIteration):
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # free one slot so a producer blocked on put() can exit
+            q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def directory_dataset(rgb_dir, mask_dir, hw, batch_size, seed=0):
@@ -457,15 +523,28 @@ def train(
         )
     aug_rng = np.random.default_rng(config.seed + 7 + start)
 
+    def _augmented():
+        # augmentation runs in the producer thread too — it is host numpy
+        # work that should overlap the consumer's upload, and the single
+        # producer keeps the aug_rng draw order (and thus the batch
+        # sequence) identical to the synchronous path
+        while True:
+            images, masks = next(dataset)
+            if config.augment:
+                images, masks = augment_batch(
+                    images, masks, aug_rng, strength=config.aug_strength
+                )
+            yield images, masks
+
+    batches = _augmented()
+    if config.prefetch > 0:
+        batches = prefetch_batches(batches, depth=config.prefetch)
+
     loss = None
     last_saved = -1
     t0 = time.perf_counter()
     for it in range(start, config.steps):
-        images, masks = next(dataset)
-        if config.augment:
-            images, masks = augment_batch(
-                images, masks, aug_rng, strength=config.aug_strength
-            )
+        images, masks = next(batches)
         images = jax.device_put(jnp.asarray(images), shardings["data"])
         masks = jax.device_put(jnp.asarray(masks), shardings["data"])
         # no timing span here: step() returns at dispatch and
@@ -486,6 +565,10 @@ def train(
             save_train_state(config.checkpoint_dir, params, opt_state, it + 1,
                              ema=ema)
             last_saved = it + 1
+    if config.prefetch > 0:
+        # stop the producer thread — it would otherwise keep raycasting
+        # (and starving this single-core host) until its queue refills
+        batches.close()
     if config.checkpoint_dir and last_saved != config.steps:
         # skip the duplicate final save when the loop's last iteration
         # already committed this exact state (a full orbax serialize costs

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 from fusion3dseg_tpu import cli
 from fusion3dseg_tpu.ops import components, neighbors
 
@@ -202,6 +203,48 @@ class TestTrainerSmoke:
         params2, loss2 = train(cfg2, mesh=mesh, verbose=False)
         assert np.isfinite(loss2)
         assert load_ema(ck, params2) is not None
+
+    def test_prefetch_batches_semantics(self):
+        """prefetch_batches: order-preserving, exception-propagating,
+        StopIteration-terminating, shutdown-safe (producer unblocked when
+        the consumer closes mid-stream)."""
+        import threading
+        import time as _time
+
+        from fusion3dseg_tpu.models.train import prefetch_batches
+
+        # order preserved over a finite iterator, then clean termination
+        assert list(prefetch_batches(iter(range(20)), depth=3)) == list(range(20))
+
+        # exceptions raised by the source re-raise at the consumer
+        def boom():
+            yield 1
+            raise ValueError("source failed")
+
+        it = prefetch_batches(boom(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="source failed"):
+            # the producer may still be delivering 1-ahead; drain until raise
+            next(it)
+
+        # closing the consumer unblocks a producer stuck on a full queue
+        produced = []
+
+        def endless():
+            i = 0
+            while True:
+                produced.append(i)
+                yield i
+                i += 1
+
+        it = prefetch_batches(endless(), depth=1)
+        assert next(it) == 0
+        it.close()
+        _time.sleep(0.05)
+        n_after_close = len(produced)
+        _time.sleep(0.1)
+        assert len(produced) == n_after_close, "producer kept running after close"
+        assert threading.active_count() < 50  # no thread leak across calls
 
     def test_textured_dataset_and_miou_eval(self):
         """Textured sessions train + held-out mIoU evaluation plumbing
