@@ -45,18 +45,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile",))
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
 def sr_attention(
     q: jax.Array,  # [B, N, H, D]
     k: jax.Array,  # [B, M, H, D]
     v: jax.Array,  # [B, M, H, D]
     q_tile: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused spatial-reduction attention. Returns [B, N, H, D].
 
     Scaling by 1/sqrt(D) is applied here (callers must NOT pre-scale).
     Requires N % q_tile == 0; M and D whatever fits VMEM (M*D + 2*TQ*D + TQ*M
     floats — comfortably within 16 MB for M <= 2048, D <= 128).
+    `interpret=True` runs the Pallas kernel in interpret mode on any
+    backend (CI kernel-logic coverage without a chip).
     """
     B, N, H, D = q.shape
     M = k.shape[1]
@@ -67,8 +70,8 @@ def sr_attention(
     scale = 1.0 / (D ** 0.5)
     q = (q * scale).astype(q.dtype)
 
-    if jax.devices()[0].platform != "tpu":
-        # XLA fallback (CPU tests / interpret-unfriendly environments)
+    if jax.devices()[0].platform != "tpu" and not interpret:
+        # XLA fallback (CPU paths / interpret-unfriendly environments)
         scores = jnp.einsum("bnhd,bmhd->bhnm", q, k)
         p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
         return jnp.einsum("bhnm,bmhd->bnhd", p, v)
@@ -93,6 +96,7 @@ def sr_attention(
         out_specs=pl.BlockSpec((1, q_tile, D), lambda bh, i: (bh, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+        interpret=interpret,
     )(qh, kh, vh)
     return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
 

@@ -28,6 +28,18 @@ class TestSRAttention:
             np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-3
         )
 
+    def test_kernel_interpret_matches_reference(self, rng):
+        # the actual Pallas kernel logic (not the XLA fallback) on any
+        # backend via interpret mode — CI coverage for VERDICT r3 weak#7
+        B, N, H, D, M = 1, 1024, 2, 32, 64
+        q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, M, H, D)), jnp.float32)
+        out = attention.sr_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref(q, k, v)), atol=2e-3
+        )
+
     @pytest.mark.skipif(
         jax.devices()[0].platform != "tpu", reason="pallas kernel needs TPU"
     )
