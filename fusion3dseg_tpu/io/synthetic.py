@@ -108,7 +108,7 @@ def _mat_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
 
 
 def _raycast(
-    origins: np.ndarray,  # [3]
+    origins: np.ndarray,  # [3] shared, or [N, 3] per-ray
     dirs: np.ndarray,  # [N, 3]
     room: np.ndarray,  # [6] room min/max
     boxes: np.ndarray,  # [B, 6]
@@ -118,22 +118,34 @@ def _raycast(
 ):
     """Returns (t_hit [N], class [N][, normals [N,3], instance [N]]) for
     rays inside the room. Normals point back into the room (toward the eye
-    side); `instance` is -1 for room surfaces, else the box index."""
+    side); `instance` is -1 for room surfaces, else the box index.
+
+    This is the train data path's hottest host op (models/train.py yields
+    batches from make_session), so it computes in f32 (mm-quantized depth
+    pngs downstream; halves the memory traffic vs numpy's default f64) and
+    slab-tests ALL boxes in one [N, B, 3] pass — nearest-valid-entry argmin
+    replaces the reference-style sequential per-box update (identical
+    result: both resolve to the first box attaining the minimal entry t)."""
     n = len(dirs)
-    t_best = np.full(n, max_depth)
+    dirs = np.ascontiguousarray(dirs, np.float32)
+    org = np.asarray(origins, np.float32)  # [3] shared or [N,3] per-ray
+    room = np.asarray(room, np.float32)
+    ar = np.arange(n)
+    t_best = np.full(n, max_depth, np.float32)
     cls_best = np.zeros(n, np.uint8)
     nrm_axis = np.zeros(n, np.int8)  # hit-face axis
     nrm_sign = np.ones(n, np.float32)
     inst_best = np.full(n, -1, np.int16)
 
-    inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, 1e12)
+    with np.errstate(divide="ignore"):
+        inv = np.where(np.abs(dirs) > 1e-12, 1.0 / dirs, np.float32(1e12))
 
     # room interior: exit-face intersection (largest t where still inside)
     rmin, rmax = room[:3], room[3:]
     # for each axis, the far slab plane in ray direction
-    t_far_axis = np.where(dirs > 0, (rmax - origins) * inv, (rmin - origins) * inv)
+    t_far_axis = np.where(dirs > 0, (rmax - org) * inv, (rmin - org) * inv)
     exit_axis = np.argmin(t_far_axis, axis=1)
-    t_exit = t_far_axis[np.arange(n), exit_axis]
+    t_exit = t_far_axis[ar, exit_axis]
     # classify the exit face: y-axis -> floor/ceiling, else wall
     face_cls = np.where(
         exit_axis == 1,
@@ -148,25 +160,43 @@ def _raycast(
     cls_best[hit] = face_cls[hit]
     nrm_axis[hit] = exit_axis[hit]
     # room face normal points back against the ray's axis direction
-    nrm_sign[hit] = -np.sign(dirs[np.arange(n), exit_axis])[hit]
+    nrm_sign[hit] = -np.sign(dirs[ar, exit_axis])[hit]
     in_range = hit & (t_exit < t_best)
     t_best[in_range] = t_exit[in_range]
 
-    # object boxes: slab-test entry intersection
-    for b in range(len(boxes)):
-        bmin, bmax = boxes[b, :3], boxes[b, 3:]
-        t1 = (bmin - origins) * inv
-        t2 = (bmax - origins) * inv
-        tlo = np.minimum(t1, t2)
-        entry_axis = np.argmax(tlo, axis=1)
-        tmin = tlo[np.arange(n), entry_axis]
-        tmax = np.min(np.maximum(t1, t2), axis=1)
-        hit = (tmax >= tmin) & (tmin > 1e-6) & (tmin < t_best)
-        t_best[hit] = tmin[hit]
-        cls_best[hit] = box_classes[b]
-        nrm_axis[hit] = entry_axis[hit]
-        nrm_sign[hit] = -np.sign(dirs[np.arange(n), entry_axis])[hit]
-        inst_best[hit] = b
+    # object boxes: one batched slab-test entry intersection over all boxes.
+    # Per-axis elementwise max/min chains instead of [N,B,3] axis
+    # reductions: numpy's length-3 inner-axis reduce costs per-output-call
+    # overhead that dominates this array size
+    if len(boxes):
+        bf = np.asarray(boxes, np.float32)
+        per_ray = org.ndim == 2
+        tmin = None  # running entry t (max over axes), [N, B]
+        tmax = None  # running exit t (min over axes)
+        tlo_ax = []
+        for a in range(3):
+            oa = org[:, a, None] if per_ray else org[a]
+            ia = inv[:, a, None]  # [N, 1]
+            t1 = (bf[None, :, a] - oa) * ia  # [N, B]
+            t2 = (bf[None, :, 3 + a] - oa) * ia
+            lo = np.minimum(t1, t2)
+            hi = np.maximum(t1, t2)
+            tlo_ax.append(lo)
+            tmin = lo if tmin is None else np.maximum(tmin, lo)
+            tmax = hi if tmax is None else np.minimum(tmax, hi)
+        tmin = np.where((tmax >= tmin) & (tmin > 1e-6), tmin, np.float32(np.inf))
+        b_best = np.argmin(tmin, axis=1)  # [N] first minimal-entry box
+        tmin_best = tmin[ar, b_best]
+        hit = tmin_best < t_best
+        # entry axis recovered for the winners only ([N] vs [N,B]): the
+        # axis whose slab-entry equals the winning entry t
+        lo_w = np.stack([lo[ar, b_best] for lo in tlo_ax], axis=1)  # [N, 3]
+        ea = np.argmax(lo_w, axis=1)
+        t_best[hit] = tmin_best[hit]
+        cls_best[hit] = box_classes[b_best[hit]]
+        nrm_axis[hit] = ea[hit].astype(np.int8)
+        nrm_sign[hit] = -np.sign(dirs[ar, ea])[hit]
+        inst_best[hit] = b_best[hit].astype(np.int16)
 
     # rays whose nearest surface lies beyond max_depth: depth is invalid
     # (0 -> excluded by every depth-range mask); the mask keeps the true
@@ -176,7 +206,7 @@ def _raycast(
     if not return_normals:
         return t_best, cls_best
     normals = np.zeros((n, 3), np.float32)
-    normals[np.arange(n), nrm_axis] = nrm_sign
+    normals[ar, nrm_axis] = nrm_sign
     return t_best, cls_best, normals, inst_best
 
 
@@ -297,9 +327,11 @@ def make_session(
 
     # pixel ray directions in camera frame
     u, v = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    # f32 end-to-end through the raycast + shading (host data-path hot
+    # loop; depth is mm-quantized downstream, color is u8)
     rays_cam = np.stack(
         [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u)], -1
-    ).reshape(-1, 3)
+    ).reshape(-1, 3).astype(np.float32)
 
     center = np.array([sx / 2, sy * 0.55, sz / 2])
     r_traj = 0.25 * min(sx, sz)
@@ -307,20 +339,24 @@ def make_session(
     if appearance == "textured":
         # per-session appearance, seeded independently of geometry draws
         app = np.random.default_rng(room.seed + 7777)
-        base_color = app.uniform(0.15, 0.95, (256, 3))
-        tex_k1 = app.uniform(2.0, 10.0, (256, 3)) * app.choice([-1.0, 1.0], (256, 3))
-        tex_p1 = app.uniform(0, 2 * np.pi, 256)
-        tex_k2 = app.uniform(12.0, 35.0, (256, 3)) * app.choice([-1.0, 1.0], (256, 3))
-        tex_p2 = app.uniform(0, 2 * np.pi, 256)
-        tex_amp = app.uniform(0.10, 0.35, 256)
+        # f32 constants: the per-frame shading below then stays f32 (the
+        # draws themselves remain f64 so the sampled VALUES are unchanged)
+        base_color = app.uniform(0.15, 0.95, (256, 3)).astype(np.float32)
+        tex_k1 = (app.uniform(2.0, 10.0, (256, 3))
+                  * app.choice([-1.0, 1.0], (256, 3))).astype(np.float32)
+        tex_p1 = app.uniform(0, 2 * np.pi, 256).astype(np.float32)
+        tex_k2 = (app.uniform(12.0, 35.0, (256, 3))
+                  * app.choice([-1.0, 1.0], (256, 3))).astype(np.float32)
+        tex_p2 = app.uniform(0, 2 * np.pi, 256).astype(np.float32)
+        tex_amp = app.uniform(0.10, 0.35, 256).astype(np.float32)
         # per-box-instance tint (row B = room surfaces: no jitter)
         inst_tint = np.vstack(
             [app.uniform(-0.10, 0.10, (max(len(boxes), 1), 3)), np.zeros((1, 3))]
-        )
+        ).astype(np.float32)
         lite = app.uniform(-1, 1, 3)
         lite[1] = app.uniform(0.5, 1.0)  # light from above
-        lite = lite / np.linalg.norm(lite)
-        ambient = app.uniform(0.35, 0.55)
+        lite = (lite / np.linalg.norm(lite)).astype(np.float32)
+        ambient = np.float32(app.uniform(0.35, 0.55))
         r2 = (((u - K[0, 2]) / K[0, 2]) ** 2 + ((v - K[1, 2]) / K[1, 2]) ** 2).reshape(-1)
         vignette = (1.0 - 0.25 * r2 / r2.max()).astype(np.float32)
     elif appearance != "flat":
@@ -338,7 +374,8 @@ def make_session(
         fwd = np.array([np.cos(ang), -0.1, np.sin(ang)])  # look outward, slightly down
         R = _look_rotation(fwd, upright=upright)
         q = _mat_to_quat_wxyz(R)
-        dirs = rays_cam @ R.T  # world-frame ray directions (unit z-depth scaled)
+        # world-frame ray directions (unit z-depth scaled), f32 throughout
+        dirs = rays_cam @ R.T.astype(np.float32)
 
         if appearance == "textured":
             t, cls, nrm, inst = _raycast(
@@ -357,7 +394,8 @@ def make_session(
         depths[fidx] = d
         masks[fidx] = cls.reshape(H, W)
         if appearance == "textured":
-            P = eye[None] + t[:, None] * dirs  # world hit positions
+            # world hit positions (f32: t, dirs already are)
+            P = eye.astype(np.float32)[None] + t[:, None] * dirs
             s1 = np.sin(np.sum(P * tex_k1[cls], axis=1) + tex_p1[cls])
             s2 = np.sin(np.sum(P * tex_k2[cls], axis=1) + tex_p2[cls])
             tex = 1.0 + tex_amp[cls] * (0.7 * s1 + 0.3 * s2)

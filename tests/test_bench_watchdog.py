@@ -68,7 +68,8 @@ def test_emit_discovery_failure_json(monkeypatch, capsys, tmp_path):
     assert "last_good" not in rec  # no sidecar record yet
 
     (tmp_path / "last.json").write_text(
-        json.dumps({"ts": 1.25, "value": 6.0e8}))
+        json.dumps({"ts": 1.25, "value": 6.0e8, "vs_baseline": 54.8}))
     bench.emit_discovery_failure(2, 10.0)
     rec = json.loads(capsys.readouterr().out)
-    assert rec["last_good"] == {"ts": 1.25, "value": 6.0e8}
+    assert rec["last_good"] == {
+        "ts": 1.25, "value": 6.0e8, "vs_baseline": 54.8}

@@ -18,6 +18,52 @@ def session_dir(tmp_path_factory):
 
 
 class TestSyntheticSession:
+    def test_raycast_matches_brute_force(self):
+        """The batched f32 slab test (one [N,B] pass, argmin winner) must
+        match a per-ray/per-box scalar oracle: nearest valid box entry
+        wins, first box on exact ties, room exit face otherwise."""
+        rng = np.random.default_rng(11)
+        room = np.array([0, 0, 0, 4.0, 2.5, 5.0])
+        boxes = []
+        for _ in range(7):
+            lo = rng.uniform(0, 3, 3)
+            boxes.append(np.r_[lo, np.minimum(lo + rng.uniform(0.1, 1.5, 3),
+                                              room[3:])])
+        boxes = np.asarray(boxes)
+        bcls = rng.integers(50, 120, 7).astype(np.uint8)
+        eye = np.array([2.0, 1.2, 2.5])
+        dirs = rng.normal(size=(400, 3))
+        max_depth = 8.0
+        t, cls, nrm, inst = synthetic._raycast(
+            eye, dirs, room, boxes, bcls, max_depth, return_normals=True)
+        for i in range(len(dirs)):
+            d = dirs[i]
+            inv = np.where(np.abs(d) > 1e-12, 1.0 / d, 1e12)
+            # room exit
+            t_far = np.where(d > 0, (room[3:] - eye) * inv,
+                             (room[:3] - eye) * inv)
+            t_ref, inst_ref = float(t_far.min()), -1
+            for b in range(len(boxes)):
+                t1 = (boxes[b, :3] - eye) * inv
+                t2 = (boxes[b, 3:] - eye) * inv
+                tmin = np.minimum(t1, t2).max()
+                tmax = np.maximum(t1, t2).min()
+                if tmax >= tmin > 1e-6 and tmin < t_ref - 1e-4:
+                    t_ref, inst_ref = float(tmin), b
+            if t_ref < max_depth - 1e-3:
+                assert abs(t[i] - t_ref) < 1e-3, i
+            else:
+                assert t[i] == 0.0, i  # beyond range -> invalid depth
+            if inst[i] == inst_ref and inst_ref >= 0:
+                assert cls[i] == bcls[inst_ref], i
+            else:
+                # near-tie between overlapping boxes: depth must still agree
+                assert abs(min(t[i] if t[i] else max_depth, max_depth)
+                           - min(t_ref, max_depth)) < 1e-3, i
+            # normals: unit axis vector pointing against the ray
+            assert abs(np.linalg.norm(nrm[i]) - 1.0) < 1e-6
+            assert nrm[i] @ d < 1e-6
+
     def test_session_roundtrip(self, session_dir):
         out, sess = session_dir
         sd = rtab.SessionData.from_export_dir(out)
