@@ -170,6 +170,10 @@ def main(argv=None):
                         "(e.g. 0.999) updated inside the step program; "
                         "committed as <checkpoint-dir>/ema (a Segmenter2D-"
                         "compatible checkpoint dir)")
+    s.add_argument("--prefetch", type=int, default=2,
+                   help="producer-thread batch prefetch depth (0 = "
+                        "synchronous generation — frees this single-core "
+                        "host for concurrent work)")
     s.add_argument("--render-hws", default="96x72", type=parse_hw_list,
                    help="comma-separated raycast resolutions sampled per "
                         "synthetic session, e.g. '96x72,128x96,192x144' — "
@@ -381,6 +385,7 @@ def main(argv=None):
             aug_strength=args.aug_strength,
             boundary_weight=args.boundary_weight,
             ema_decay=args.ema_decay,
+            prefetch=args.prefetch,
             render_hws=args.render_hws,
             resume=args.resume, init_params_npz=args.init_npz,
         )

@@ -142,8 +142,12 @@ def _raycast(
 
     # room interior: exit-face intersection (largest t where still inside)
     rmin, rmax = room[:3], room[3:]
-    # for each axis, the far slab plane in ray direction
+    # for each axis, the far slab plane in ray direction; axes the ray is
+    # PARALLEL to (|d| <= 1e-12) never bound the exit — without the +inf
+    # override the 1e12-inv fallback yields a huge NEGATIVE t that wins the
+    # argmin and misclassifies the ray as leaving the closed room at t<=0
     t_far_axis = np.where(dirs > 0, (rmax - org) * inv, (rmin - org) * inv)
+    t_far_axis = np.where(np.abs(dirs) <= 1e-12, np.float32(np.inf), t_far_axis)
     exit_axis = np.argmin(t_far_axis, axis=1)
     t_exit = t_far_axis[ar, exit_axis]
     # classify the exit face: y-axis -> floor/ceiling, else wall

@@ -98,6 +98,9 @@ def _noise_like(shape, rng: np.random.Generator) -> np.ndarray:
         _NOISE_POOL = np.random.default_rng(0xF00D).standard_normal(
             max(2 * need, 1 << 20), dtype=np.float32
         )
+        # read-only: callers receive a VIEW into the shared pool — an
+        # in-place mutation would silently corrupt every later draw
+        _NOISE_POOL.setflags(write=False)
     off = int(rng.integers(0, _NOISE_POOL.size - need + 1))
     return _NOISE_POOL[off : off + need].reshape(shape)
 
@@ -235,6 +238,16 @@ def prefetch_batches(it: Iterator, depth: int = 2) -> Iterator:
                 q.put(next(it))
         except BaseException as e:  # noqa: BLE001 — includes StopIteration
             q.put(e)
+        finally:
+            # run the source's cleanup from the thread that executes it (a
+            # generator can only be closed while not mid-execution — this
+            # thread is the one that runs it, so here is the only safe spot)
+            close = getattr(it, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     t = threading.Thread(target=producer, daemon=True,
                          name="train-batch-prefetch")
@@ -543,31 +556,34 @@ def train(
     loss = None
     last_saved = -1
     t0 = time.perf_counter()
-    for it in range(start, config.steps):
-        images, masks = next(batches)
-        images = jax.device_put(jnp.asarray(images), shardings["data"])
-        masks = jax.device_put(jnp.asarray(masks), shardings["data"])
-        # no timing span here: step() returns at dispatch and
-        # block_until_ready does not block on the axon platform, so a span
-        # would record microseconds and contradict the printed it/s rate —
-        # the log line's wall-clock rate is the honest number
-        if ema is not None:
-            params, opt_state, ema, loss = step(
-                params, opt_state, ema, images, masks
-            )
-        else:
-            params, opt_state, loss = step(params, opt_state, images, masks)
-        if verbose and (it + 1) % config.log_every == 0:
-            lval = float(np.asarray(loss))
-            rate = (it + 1 - start) / (time.perf_counter() - t0)
-            print(f"step {it + 1}/{config.steps} loss={lval:.4f} ({rate:.2f} it/s)")
-        if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
-            save_train_state(config.checkpoint_dir, params, opt_state, it + 1,
-                             ema=ema)
-            last_saved = it + 1
-    if config.prefetch > 0:
-        # stop the producer thread — it would otherwise keep raycasting
-        # (and starving this single-core host) until its queue refills
+    try:
+        for it in range(start, config.steps):
+            images, masks = next(batches)
+            images = jax.device_put(jnp.asarray(images), shardings["data"])
+            masks = jax.device_put(jnp.asarray(masks), shardings["data"])
+            # no timing span here: step() returns at dispatch and
+            # block_until_ready does not block on the axon platform, so a
+            # span would record microseconds and contradict the printed
+            # it/s rate — the log line's wall-clock rate is the honest one
+            if ema is not None:
+                params, opt_state, ema, loss = step(
+                    params, opt_state, ema, images, masks
+                )
+            else:
+                params, opt_state, loss = step(params, opt_state, images, masks)
+            if verbose and (it + 1) % config.log_every == 0:
+                lval = float(np.asarray(loss))
+                rate = (it + 1 - start) / (time.perf_counter() - t0)
+                print(f"step {it + 1}/{config.steps} loss={lval:.4f} ({rate:.2f} it/s)")
+            if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
+                save_train_state(config.checkpoint_dir, params, opt_state,
+                                 it + 1, ema=ema)
+                last_saved = it + 1
+    finally:
+        # stop the producer thread on EVERY exit (step dispatch error,
+        # checkpoint IO failure, KeyboardInterrupt) — it would otherwise
+        # keep raycasting (and starving this single-core host) until its
+        # queue refills, then block on put() forever
         batches.close()
     if config.checkpoint_dir and last_saved != config.steps:
         # skip the duplicate final save when the loop's last iteration

@@ -246,6 +246,48 @@ class TestTrainerSmoke:
         assert len(produced) == n_after_close, "producer kept running after close"
         assert threading.active_count() < 50  # no thread leak across calls
 
+        # the source generator's own cleanup runs on shutdown (its close()
+        # is called from the producer thread — the only thread that may)
+        closed = []
+
+        def with_cleanup():
+            try:
+                i = 0
+                while True:
+                    yield i
+                    i += 1
+            finally:
+                closed.append(True)
+
+        it = prefetch_batches(with_cleanup(), depth=1)
+        assert next(it) == 0
+        it.close()
+        for _ in range(50):  # producer closes asynchronously
+            if closed:
+                break
+            _time.sleep(0.02)
+        assert closed, "source generator cleanup never ran"
+
+        # ... and also when the source raises (exception path)
+        closed2 = []
+
+        def boom2():
+            try:
+                yield 1
+                raise ValueError("x")
+            finally:
+                closed2.append(True)
+
+        it = prefetch_batches(boom2(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError):
+            next(it)
+        for _ in range(50):
+            if closed2:
+                break
+            _time.sleep(0.02)
+        assert closed2
+
     def test_textured_dataset_and_miou_eval(self):
         """Textured sessions train + held-out mIoU evaluation plumbing
         (VERDICT r1 #5: the 2D demo must not reduce to a color lookup)."""
@@ -330,6 +372,13 @@ class TestTrainerSmoke:
         # photometric jitter changed pixel values but not the label set
         assert not np.array_equal(ai, imgs) or True
         assert set(np.unique(am)) <= set(np.unique(masks))
+        # the shared noise pool hands out read-only views: an in-place
+        # mutation by a future caller must fail loudly, not corrupt the pool
+        from fusion3dseg_tpu.models.train import _noise_like
+
+        noise = _noise_like((4, 4), np.random.default_rng(1))
+        with pytest.raises(ValueError):
+            noise += 1.0
 
     def test_augment_strength_scales_and_cutout_preserves_masks(self):
         from fusion3dseg_tpu.models.train import augment_batch

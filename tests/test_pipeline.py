@@ -33,15 +33,22 @@ class TestSyntheticSession:
         bcls = rng.integers(50, 120, 7).astype(np.uint8)
         eye = np.array([2.0, 1.2, 2.5])
         dirs = rng.normal(size=(400, 3))
+        # exact axis-aligned + near-parallel rays: a parallel axis must
+        # never bound the room exit (the 1e12-inv fallback used to produce
+        # a negative exit t that "escaped" the closed room)
+        dirs = np.vstack([dirs,
+                          np.eye(3), -np.eye(3),
+                          [[1e-13, 1.0, 0.0], [1.0, 0.0, 1e-13]]])
         max_depth = 8.0
         t, cls, nrm, inst = synthetic._raycast(
             eye, dirs, room, boxes, bcls, max_depth, return_normals=True)
         for i in range(len(dirs)):
             d = dirs[i]
             inv = np.where(np.abs(d) > 1e-12, 1.0 / d, 1e12)
-            # room exit
-            t_far = np.where(d > 0, (room[3:] - eye) * inv,
-                             (room[:3] - eye) * inv)
+            # room exit: parallel axes never bound it
+            t_far = np.where(np.abs(d) <= 1e-12, np.inf,
+                             np.where(d > 0, (room[3:] - eye) * inv,
+                                      (room[:3] - eye) * inv))
             t_ref, inst_ref = float(t_far.min()), -1
             for b in range(len(boxes)):
                 t1 = (boxes[b, :3] - eye) * inv
