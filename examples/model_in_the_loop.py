@@ -26,6 +26,13 @@ vs the ground-truth-mask pipeline on the same fused cloud):
     steps  model  held-out mIoU  2D pixel acc (unseen)  3D agreement  unclassified
     8000    b1       0.8165            0.9884              0.9719        0.0002
    14000    b2       0.8492            0.9903              0.9752        0.0002
+   22000    b2       0.8857              —                 0.9889        0.0000
+
+(the 22000-step row is the r4 boundary-weighted EMA fine-tune — 8000
+further steps from the 14000-step snapshot at aug-strength 1.5,
+boundary-weight 3, lr 2e-5, mixed 96x72/128x96 render resolutions; the
+shipped npz re-measured 3D agreement 0.9889 / 0.9866 on the two unseen
+eval sessions, docs/ROUND4.md)
 
 (256^2 input, batch 8, warmup-cosine 6e-5, flip+photometric augmentation,
 class-conditional shape-prior rooms; the b2 run resumed from its 8000-step

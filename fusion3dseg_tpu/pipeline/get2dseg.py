@@ -285,8 +285,9 @@ def best_shipped_checkpoint():
     """(model_name, npz_path) of the best in-repo snapshot, or (None, None).
 
     Preference order b2 > b1 > b0: the larger model is the accuracy default
-    (B2 held-out mIoU 0.849 full-eval vs B1 0.825; model-in-the-loop 3D
-    agreement 0.975 vs 0.974 — VERDICT r3 next#2); callers that need
+    (B2 held-out mIoU 0.886 full-eval vs B1 0.825; model-in-the-loop 3D
+    agreement 0.989/0.987 on two unseen sessions vs B1 0.974 — the r4
+    boundary-weighted EMA fine-tune, docs/ROUND4.md); callers that need
     throughput over accuracy can still ask for a specific model.
     """
     for name in ("b2", "b1", "b0"):
