@@ -598,30 +598,32 @@ def fusion_and_e2e(args, result):
     # classify -> instance split -> OBBs + bbox merge. One warmup pass
     # compiles every stage; the reported time is a full second pass
     # including all host<->device transfers and host steps.
-    from fusion3dseg_tpu.ops import components, voting
+    from fusion3dseg_tpu.ops import components
     from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
 
     fmasks = jnp.asarray(fsess.gt_mask.reshape(48, -1))
 
+    from fusion3dseg_tpu.fusion import fuse_session_and_vote
+
     def e2e_once(outdir):
-        st, uv2pt = fusion_engine.fuse_session(*fargs, **fkw)
-        n = int(np.asarray(st.n))
-        pts_d = st.points[:n]
-        # start the ONE device->host points copy async, THEN dispatch the
-        # vote program so the transfer and the vote overlap; the host
-        # instance split (native grid union-find, ~0.08 s on this core)
-        # runs while the device votes — removing the 0.56 s device
-        # adjacency build and its 0.35 s [n,k] D2H through the ~20-40 MB/s
-        # tunnel entirely.
-        pts_d.copy_to_host_async()
-        votes_e, classes_e = voting.vote_and_classify(
-            uv2pt, fmasks, fcap, args.nclasses, threshold=0.5,
-            filter_classes=None,
+        # ONE device program: fusion scan + vote scan + classify
+        # (fusion/fused_pipeline.py). Every dispatch on this platform
+        # costs 30-90 ms of tunnel latency; the old
+        # fuse -> sync n -> slice -> vote -> slice chain paid 3-4 of
+        # them. uv2pt/votes never leave the device; classes ship as
+        # uint8 (4x smaller); points/classes transfer FULL-capacity
+        # (host slice) — one more ~0.4 MB of payload instead of two
+        # slice-program round-trips.
+        st, _uv2pt, _votes, classes_e = fuse_session_and_vote(
+            *fargs, fmasks, nclasses=args.nclasses, threshold=0.5,
+            filter_classes=None, **fkw,
         )
-        classes_sl = classes_e[:n]
-        classes_sl.copy_to_host_async()
-        pts = np.asarray(pts_d)
-        classes_np = np.asarray(classes_sl)
+        st.n.copy_to_host_async()
+        st.points.copy_to_host_async()
+        classes_e.copy_to_host_async()
+        n = int(np.asarray(st.n))
+        pts = np.asarray(st.points)[:n]
+        classes_np = np.asarray(classes_e)[:n].astype(np.int32)
         # one-pass native split: grid union-find over the FULL radius
         # relation — no k-NN sort, no [n,k] adjacency table (0.08 s vs
         # 0.23 s at this scale; ops/components.split_into_instances_by_radius)
@@ -632,8 +634,7 @@ def fusion_and_e2e(args, result):
             inf["parent_id"] = inf["category_id"]
         # merge_bb's auto backend keeps the whole OBB merge on HOST at this
         # K*N — zero further device round-trips after the vote readback
-        info_m, ids_m = merge_bb(outdir, info_e, ids_e, pts, verbose=False,
-                                 points_dev=pts_d)
+        info_m, ids_m = merge_bb(outdir, info_e, ids_e, pts, verbose=False)
         return n, len(info_e), len(info_m)
 
     import tempfile as _tf

@@ -9,3 +9,6 @@ from fusion3dseg_tpu.fusion.fusion import (  # noqa: F401
     load_state,
     save_state,
 )
+from fusion3dseg_tpu.fusion.fused_pipeline import (  # noqa: F401
+    fuse_session_and_vote,
+)
