@@ -594,48 +594,39 @@ def fusion_and_e2e(args, result):
         return
 
     # end-to-end pipeline wall time (BASELINE config-3 shape, SURVEY §3.3
-    # call stack): fusion engine -> radius adjacency -> vote -> threshold
-    # classify -> instance split -> OBBs + bbox merge. One warmup pass
-    # compiles every stage; the reported time is a full second pass
-    # including all host<->device transfers and host steps.
-    from fusion3dseg_tpu.ops import components
-    from fusion3dseg_tpu.pipeline.merge_bb import merge_bb
+    # call stack): fusion engine -> vote -> threshold classify ->
+    # instance split -> OBBs + bbox merge. One warmup pass compiles every
+    # stage; the reported time is a full second pass including all
+    # result host<->device transfers and host steps. The session itself
+    # is device-resident (uploaded once, outside the timed pass — the
+    # r1-r3 convention; fargs above) via a SessionData whose array fields
+    # are jax arrays, which segment_session_fast passes through without
+    # re-upload.
+    import dataclasses as _dc
 
-    fmasks = jnp.asarray(fsess.gt_mask.reshape(48, -1))
+    from fusion3dseg_tpu.pipeline.fast import segment_session_fast
 
-    from fusion3dseg_tpu.fusion import fuse_session_and_vote
+    sd_dev = _dc.replace(
+        sd, Ks=fargs[0], quats_wxyz=fargs[1], translations=fargs[2],
+        points=fargs[3], normals=fargs[4], colors=fargs[5],
+        depth=jnp.asarray(sd.depth),
+    )
+    fmasks_dev = jnp.asarray(fsess.gt_mask.reshape(48, -1))
 
     def e2e_once(outdir):
-        # ONE device program: fusion scan + vote scan + classify
-        # (fusion/fused_pipeline.py). Every dispatch on this platform
-        # costs 30-90 ms of tunnel latency; the old
-        # fuse -> sync n -> slice -> vote -> slice chain paid 3-4 of
-        # them. uv2pt/votes never leave the device; classes ship as
-        # uint8 (4x smaller); points/classes transfer FULL-capacity
-        # (host slice) — one more ~0.4 MB of payload instead of two
-        # slice-program round-trips.
-        st, _uv2pt, _votes, classes_e = fuse_session_and_vote(
-            *fargs, fmasks, nclasses=args.nclasses, threshold=0.5,
-            filter_classes=None, **fkw,
+        # the PUBLIC one-call in-memory pipeline (pipeline/fast.py): ONE
+        # device program for fusion + vote + classify (every dispatch on
+        # this platform costs 30-90 ms of tunnel latency — the old
+        # fuse -> sync n -> slice -> vote -> slice chain paid 3-4), then
+        # host one-pass instance split + host OBB merge.
+        res = segment_session_fast(
+            sd_dev, masks=fmasks_dev, radius=fkw["radius"], angle=10.0,
+            valid=fargs[6], max_depth=fkw["max_depth"], capacity=fkw["capacity"],
+            window=fkw["window"], window_policy="newest",
+            nclasses=args.nclasses, threshold=0.5, min_pts_per_inst=100,
+            outdir=outdir,
         )
-        st.n.copy_to_host_async()
-        st.points.copy_to_host_async()
-        classes_e.copy_to_host_async()
-        n = int(np.asarray(st.n))
-        pts = np.asarray(st.points)[:n]
-        classes_np = np.asarray(classes_e)[:n].astype(np.int32)
-        # one-pass native split: grid union-find over the FULL radius
-        # relation — no k-NN sort, no [n,k] adjacency table (0.08 s vs
-        # 0.23 s at this scale; ops/components.split_into_instances_by_radius)
-        _, ids_e, info_e, _ = components.split_into_instances_by_radius(
-            classes_np, pts, 2 * fkw["radius"], args.nclasses, None, 100
-        )
-        for inf in info_e:  # minimal parent taxonomy for the merge
-            inf["parent_id"] = inf["category_id"]
-        # merge_bb's auto backend keeps the whole OBB merge on HOST at this
-        # K*N — zero further device round-trips after the vote readback
-        info_m, ids_m = merge_bb(outdir, info_e, ids_e, pts, verbose=False)
-        return n, len(info_e), len(info_m)
+        return res.n, res.n_instances_premerge, len(res.instance_info)
 
     import tempfile as _tf
 

@@ -1,0 +1,105 @@
+"""segment_session_fast: the in-memory one-call pipeline.
+
+Stage semantics must match the two-call device sequence (fusion then
+vote) and the host split/merge contracts — the fast path exists to cut
+dispatch round-trips, not to change numerics.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusion3dseg_tpu.fusion import fuse_session
+from fusion3dseg_tpu.io import rtab, synthetic
+from fusion3dseg_tpu.ops import voting
+from fusion3dseg_tpu.pipeline.fast import segment_session_fast
+
+
+def _session(seed=21, F=6, hw=(48, 36)):
+    sess = synthetic.make_session(
+        nframes=F, depth_hw=hw, room=synthetic.RoomSpec(seed=seed)
+    )
+    sd = rtab.SessionData.from_arrays(
+        sess.colors, sess.depth, sess.K,
+        sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+    )
+    return sess, sd
+
+
+class TestFastSegmentation:
+    def test_gt_mask_path_matches_stage_sequence(self):
+        sess, sd = _session()
+        cap = 1 << 13
+        res = segment_session_fast(
+            sd, masks=sess.gt_mask, radius=0.1, angle=25.0,
+            capacity=cap, window=None, min_pts_per_inst=20,
+        )
+        # reference: the explicit two-call device sequence
+        valid = (sd.depth > 0.1) & (sd.depth <= 8.0)
+        fargs = tuple(jnp.asarray(x) for x in (
+            sd.Ks.astype(np.float32), sd.quats_wxyz, sd.translations,
+            sd.points, sd.normals, sd.colors, valid,
+        ))
+        st_ref, uv_ref = fuse_session(
+            *fargs, height=48, width=36, radius=0.1,
+            min_cosine=float(np.cos(np.deg2rad(25.0))), max_depth=8.0,
+            capacity=cap,
+        )
+        _, cls_ref = voting.vote_and_classify(
+            uv_ref, jnp.asarray(sess.gt_mask.reshape(len(sess.gt_mask), -1)),
+            cap, 133, threshold=0.5,
+        )
+        n = int(st_ref.n)
+        assert res.n == n
+        np.testing.assert_array_equal(res.classes, np.asarray(cls_ref)[:n])
+        np.testing.assert_array_equal(
+            res.points, np.asarray(st_ref.points)[:n]
+        )
+        # normals/colors are lazy D2H transfers (the segmentation never
+        # reads them); first access materializes the live prefix
+        np.testing.assert_array_equal(
+            res.normals, np.asarray(st_ref.normals)[:n]
+        )
+        np.testing.assert_array_equal(
+            res.colors, np.asarray(st_ref.colors)[:n]
+        )
+        # instance contract: per-point ids cover the cloud, info has the
+        # split + taxonomy fields
+        assert res.instance_ids.shape == (n,)
+        assert len(res.instance_info) > 0
+        for inf in res.instance_info:
+            assert {"id", "category_id", "area", "parent_id"} <= set(inf)
+
+    def test_auto_window_and_outdir(self, tmp_path):
+        sess, sd = _session(seed=22, F=4)
+        res = segment_session_fast(
+            sd, masks=sess.gt_mask, radius=0.1, angle=25.0,
+            capacity=1 << 13, window="auto", window_policy="split",
+            min_pts_per_inst=20, outdir=tmp_path,
+        )
+        assert res.n > 0 and res.classes.shape == (res.n,)
+        assert (tmp_path / "panoptic_segmentation").is_dir()
+
+    def test_segmenter_path_contracts(self):
+        """Model-streamed variant: mechanics only (random tiny weights)."""
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+        sess, sd = _session(seed=23, F=4)
+        seg = Segmenter2D(
+            config=SegFormerConfig.named("b0"), checkpoint_dir=None,
+            input_hw=(64, 64), batch_size=4,
+        )
+        res = segment_session_fast(
+            sd, segmenter=seg, radius=0.1, angle=25.0,
+            capacity=1 << 13, window=None, min_pts_per_inst=20,
+        )
+        assert res.classes.shape == (res.n,)
+        assert res.classes.dtype == np.int32
+        assert set(np.unique(res.classes)) <= set(range(134))
+
+    def test_rejects_ambiguous_label_source(self):
+        sess, sd = _session(seed=24, F=3)
+        with pytest.raises(ValueError):
+            segment_session_fast(sd)
+        with pytest.raises(ValueError):
+            segment_session_fast(sd, masks=sess.gt_mask, segmenter=object())
