@@ -480,13 +480,10 @@ def fusion_and_e2e(args, result):
     # both capacity regimes use the AUTO-sized merge window (VERDICT r2 #5:
     # the windowed speed is the default, not a hand-tuned knob; r3 lowered
     # the engage threshold to 2^17 after measuring 75.9 -> 104.6 fps there)
-    from fusion3dseg_tpu.ops import sparsify as _sparsify
-
-    sp0 = _sparsify.patch_sparsify(
+    seed_cells = fusion_engine.seed_cells_for_frame(
         fargs[3][0], fargs[4][0], fargs[5][0], fargs[6][0],
         256, 192, 0.05, float(np.cos(np.deg2rad(10.0))),
     )
-    seed_cells = int(np.asarray(jnp.sum(sp0.counts > 0)))
 
     fcap = 1 << 17
     awin128 = fusion_engine.auto_window(seed_cells, fcap)

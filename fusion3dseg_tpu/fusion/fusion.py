@@ -852,6 +852,31 @@ def auto_window(seed_cells: int, capacity: int) -> Optional[int]:
     return None if w >= capacity else int(w)
 
 
+def seed_cells_for_frame(
+    points0, normals0, colors0, valid0,
+    height: int, width: int, radius: float, min_cosine: float,
+) -> int:
+    """Occupied-cell count of a seed frame — auto_window's data input.
+
+    Sparsifies the frame at the merge radius (exactly what _seed_frame
+    will do) and counts occupied cells. ONE shared implementation for
+    every caller that window-sizes a session from its data (bench.py,
+    pipeline/fast.py) so the heuristic's inputs can't drift between them;
+    feed the result to `auto_window(seed_cells, capacity)` — once per
+    capacity of interest.
+
+    Cost note: this is a standalone device program + a host scalar sync
+    (30-90 ms of tunnel dispatch latency, CLAUDE.md) — repeated-call paths
+    should compute it once per session and pass the resulting window
+    through.
+    """
+    sp0 = sparsify.patch_sparsify(
+        points0, normals0, colors0, valid0, height, width, radius,
+        min_cosine,
+    )
+    return int(np.asarray(jnp.sum(sp0.counts > 0)))
+
+
 def visible_span_from_uv2pt(uv2pt) -> np.ndarray:
     """Per-frame matched-slot span [F] — a sizing diagnostic for `window`.
 

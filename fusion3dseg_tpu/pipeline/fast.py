@@ -32,6 +32,12 @@ import numpy as np
 
 from ..utils import taxonomy as tax
 
+# capacity bound for shipping the FULL points/classes buffers and slicing
+# on the host (zero extra dispatches, <= ~2 MB of padded payload at 2^18);
+# above it the padding would dominate the transfer, so the live prefix is
+# sliced on device first (one extra dispatch, O(n) payload)
+_FULL_TRANSFER_MAX_CAP = 1 << 18
+
 
 @dataclasses.dataclass
 class FastSegmentation:
@@ -56,11 +62,13 @@ class FastSegmentation:
 
     @functools.cached_property
     def normals(self) -> np.ndarray:  # [n, 3]
-        return np.asarray(self.state.normals)[: self.n]
+        # device slice: one dispatch, O(n) transfer — right for a
+        # rarely-accessed field regardless of buffer capacity
+        return np.asarray(self.state.normals[: self.n])
 
     @functools.cached_property
     def colors(self) -> np.ndarray:  # [n, 3]
-        return np.asarray(self.state.colors)[: self.n]
+        return np.asarray(self.state.colors[: self.n])
 
 
 def segment_session_fast(
@@ -109,10 +117,15 @@ def segment_session_fast(
     import jax.numpy as jnp
 
     from ..fusion import fused_pipeline, fusion as fusion_engine
-    from ..ops import components, sparsify, voting
+    from ..ops import components
 
     if (masks is None) == (segmenter is None):
         raise ValueError("pass exactly one of masks= or segmenter=")
+    if segmenter is not None and not dedup:
+        # stream_segment's vote scan is inherently per-(point, frame)
+        # deduplicated; silently returning dedup'd votes for dedup=False
+        # would diverge from the masks path's semantics
+        raise ValueError("dedup=False is only supported on the masks path")
 
     hd, wd = session.depth_hw
     if valid is None:
@@ -127,12 +140,16 @@ def segment_session_fast(
               max_depth=max_depth, capacity=capacity)
 
     if window == "auto":
-        sp0 = sparsify.patch_sparsify(
-            fargs[3][0], fargs[4][0], fargs[5][0], fargs[6][0],
-            hd, wd, radius, min_cosine,
+        # a standalone sizing program + scalar sync (30-90 ms dispatch,
+        # see seed_cells_for_frame) — repeated calls on one session
+        # should compute this once and pass the int through
+        window = fusion_engine.auto_window(
+            fusion_engine.seed_cells_for_frame(
+                fargs[3][0], fargs[4][0], fargs[5][0], fargs[6][0],
+                hd, wd, radius, min_cosine,
+            ),
+            capacity,
         )
-        seed_cells = int(np.asarray(jnp.sum(sp0.counts > 0)))
-        window = fusion_engine.auto_window(seed_cells, capacity)
 
     if masks is not None:
         # jnp.asarray is a no-op for committed device arrays — callers on
@@ -146,11 +163,25 @@ def segment_session_fast(
                             if filter_classes is not None else None),
             window=window, window_policy=window_policy, dedup=dedup, **kw,
         )
-        state.n.copy_to_host_async()
-        state.points.copy_to_host_async()
-        classes_d.copy_to_host_async()
-        n = int(np.asarray(state.n))
-        classes = np.asarray(classes_d)[:n].astype(np.int32)
+        # transfer strategy, chosen statically by capacity (the
+        # _append_sparsified pattern): small buffers ship full-capacity
+        # and slice on the host — no extra dispatch, ~0.4 MB of padding;
+        # big buffers would make that transfer O(capacity), so they pay
+        # one device-slice dispatch after the n sync and ship O(n)
+        if capacity <= _FULL_TRANSFER_MAX_CAP:
+            state.n.copy_to_host_async()
+            state.points.copy_to_host_async()
+            classes_d.copy_to_host_async()
+            n = int(np.asarray(state.n))
+            points = np.asarray(state.points)[:n]
+            classes = np.asarray(classes_d)[:n].astype(np.int32)
+        else:
+            n = int(np.asarray(state.n))
+            pts_sl, cls_sl = state.points[:n], classes_d[:n]
+            pts_sl.copy_to_host_async()
+            cls_sl.copy_to_host_async()
+            points = np.asarray(pts_sl)
+            classes = np.asarray(cls_sl).astype(np.int32)
     else:
         state, uv2pt = fusion_engine.fuse_session(
             *fargs, window=window, window_policy=window_policy, **kw
@@ -166,8 +197,10 @@ def segment_session_fast(
                             if filter_classes is not None else None),
         )
         classes = np.asarray(classes)[:n].astype(np.int32)
-
-    points = np.asarray(state.points)[:n]
+        if capacity > _FULL_TRANSFER_MAX_CAP:
+            points = np.asarray(state.points[:n])
+        else:
+            points = np.asarray(state.points)[:n]
 
     _, ids, info, _ = components.split_into_instances_by_radius(
         classes, points, split_radius or 2 * radius, nclasses,
@@ -177,20 +210,29 @@ def segment_session_fast(
     taxonomy = taxonomy or tax.Taxonomy()
     parent_of = dict(zip(*taxonomy.as_load_csv_tuple()[:3:2]))
     for inf in info:
-        inf["parent_id"] = parent_of.get(
-            int(inf["category_id"]), int(inf["category_id"])
-        )
+        # out-of-taxonomy categories get parent None, exactly like
+        # master_classes — merge_bb maps None to -1 (never merged), so a
+        # raw category id can't collide with a genuine parent id
+        inf["parent_id"] = parent_of.get(int(inf["category_id"]))
 
     n_premerge = len(info)
     if merge_obbs and info:
-        from .merge_bb import merge_bb
+        from .merge_bb import _HOST_OBB_MAX_KN, merge_bb
 
+        # merge_bb's auto backend goes to the device above this K*N;
+        # hand it the device-resident sliced points so it doesn't
+        # re-upload the cloud through the tunnel (merge_bb.py points_dev
+        # note). The slice dispatch is only paid on that rare big path.
+        pts_dev = (state.points[:n]
+                   if len(info) * n > _HOST_OBB_MAX_KN else None)
         if outdir is None:
             with tempfile.TemporaryDirectory() as td:
-                info, ids = merge_bb(td, info, ids, points, verbose=False)
+                info, ids = merge_bb(td, info, ids, points, verbose=False,
+                                     points_dev=pts_dev)
         else:
             Path(outdir).mkdir(parents=True, exist_ok=True)
-            info, ids = merge_bb(outdir, info, ids, points, verbose=False)
+            info, ids = merge_bb(outdir, info, ids, points, verbose=False,
+                                 points_dev=pts_dev)
 
     return FastSegmentation(
         points=points, classes=classes,

@@ -103,3 +103,47 @@ class TestFastSegmentation:
             segment_session_fast(sd)
         with pytest.raises(ValueError):
             segment_session_fast(sd, masks=sess.gt_mask, segmenter=object())
+
+    def test_rejects_dedup_false_on_segmenter_path(self):
+        """stream_segment is inherently per-(point, frame) deduplicated;
+        silently returning dedup'd votes for dedup=False would diverge
+        from the masks path (review r4)."""
+        _, sd = _session(seed=25, F=3)
+        with pytest.raises(ValueError, match="dedup"):
+            segment_session_fast(sd, segmenter=object(), dedup=False)
+
+    def test_out_of_taxonomy_parent_is_none(self):
+        """Categories outside the taxonomy get parent_id None (like
+        master_classes), NOT the raw category id — merge_bb maps None to
+        -1 so it can't collide with a genuine parent id (review r4)."""
+        from fusion3dseg_tpu.utils import taxonomy as tax
+
+        sess, sd = _session(seed=26, F=4)
+        tiny = tax.Taxonomy(class_names=["wall", "floor"])  # ids 0..1 only
+        res = segment_session_fast(
+            sd, masks=sess.gt_mask, radius=0.1, angle=25.0,
+            capacity=1 << 13, window=None, min_pts_per_inst=20,
+            taxonomy=tiny, merge_obbs=False,
+        )
+        cats = {int(i["category_id"]) for i in res.instance_info}
+        assert any(c > 1 for c in cats)  # the room has classes beyond 0/1
+        for inf in res.instance_info:
+            expected = inf["category_id"] if inf["category_id"] <= 1 else None
+            assert inf["parent_id"] == (
+                tiny.parent_ids[inf["category_id"]]
+                if inf["category_id"] <= 1 else None
+            ), inf
+
+    def test_big_capacity_sliced_transfer_matches(self):
+        """capacity > _FULL_TRANSFER_MAX_CAP switches to device-sliced O(n)
+        transfers; results must be identical to the full-buffer strategy."""
+        sess, sd = _session(seed=27, F=3)
+        masks = np.minimum(sess.gt_mask, 19)  # keep the vote table small
+        kw = dict(radius=0.1, angle=25.0, window=None, nclasses=20,
+                  min_pts_per_inst=20, merge_obbs=False)
+        small = segment_session_fast(sd, masks=masks, capacity=1 << 13, **kw)
+        big = segment_session_fast(sd, masks=masks, capacity=1 << 19, **kw)
+        assert big.n == small.n
+        np.testing.assert_array_equal(big.points, small.points)
+        np.testing.assert_array_equal(big.classes, small.classes)
+        np.testing.assert_array_equal(big.normals, small.normals)

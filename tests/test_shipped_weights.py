@@ -117,7 +117,9 @@ class TestShippedB2:
             seg, nsessions=1, nframes=4, appearance="textured"
         )
         assert stats["pixel_acc"] >= 0.95, stats
-        assert stats["miou"] >= 0.90, stats  # above the B1 bar (0.70)
+        # between the pre-fine-tune snapshot's 0.956 and the shipped
+        # 0.9889, so a silent revert to the old weights FAILS (review r4)
+        assert stats["miou"] >= 0.97, stats
 
     def test_best_shipped_prefers_b2(self):
         from fusion3dseg_tpu.pipeline.get2dseg import best_shipped_checkpoint
