@@ -178,6 +178,24 @@ def _frame_extent_cells(max_depth: float, radius: float) -> int:
     return int(np.ceil(4.0 * max_depth / radius)) + 3
 
 
+def _sparsify_max_cells(npixels: int) -> int:
+    """Scatter working-table bound for the per-frame sparsify (see
+    ops/sparsify.voxel_merge max_cells): multi-column scatter cost grows
+    with TABLE HEIGHT, not update count, and the unbounded [2*H*W, 11]
+    grouping tables were the fuse step's dominant cost (r4 profile: 33 of
+    61 ms/frame at VGA; bounding them measured 101.6 -> 129.7 fps at
+    256x192 and 16.3 -> 22.0 fps at VGA, results identical).
+
+    npixels // 2 cells = one distinct voxel per 4 pixels — frames whose
+    mean voxel covers < 4 px (possible only when z_max approaches
+    f * radius / 2) overflow to the exact big tables via lax.cond inside
+    voxel_merge, so the bound is a fast path, never a correctness limit.
+    Real sessions sit far inside it (a 520-px-focal VGA frame at
+    max_depth 8 m, radius 5 cm peaks at ~29k voxels = 11 px/voxel; the
+    bench's 256x192 seed frames occupy ~3.5k)."""
+    return min(1 << 17, max(npixels // 2, 1 << 12))
+
+
 def _seed_frame(
     state: FusionState,
     fpts, fnrm, fclr, fvalid,
@@ -189,6 +207,7 @@ def _seed_frame(
     sp = sparsify.patch_sparsify(
         fpts, fnrm, fclr, fvalid, height, width, radius, min_cosine,
         extent_cells=_frame_extent_cells(max_depth, radius),
+        max_cells=_sparsify_max_cells(height * width),
     )
     state, cell2slot = _append_sparsified(state, sp, capacity)
     uv2pt = jnp.where(
@@ -515,6 +534,7 @@ def _fuse_frame(
     sp = sparsify.patch_sparsify(
         fpts, fnrm, fclr, leftover, height, width, radius, min_cosine,
         extent_cells=_frame_extent_cells(max_depth, radius),
+        max_cells=_sparsify_max_cells(height * width),
     )
     state, cell2slot = _append_sparsified(state, sp, capacity)
 

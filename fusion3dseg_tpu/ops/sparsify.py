@@ -71,10 +71,20 @@ def voxel_merge(
     radius: float,
     min_cosine: float,
     extent_cells: int | None = None,
+    max_cells: int | None = None,
 ) -> MergeResult:
     """Weight-aware voxel merge of an arbitrary point set (the cross-chunk
     combiner behind the sharded fusion engine, and the kernel inside
     patch_sparsify).
+
+    `max_cells` (static): bound the scatter working tables to max_cells
+    rows when the input is expected to group into at most max_cells // 2
+    voxels (physically: visible surface / radius² per frame — ~29k voxels
+    for a 520-px-focal VGA frame at max_depth 8 m, radius 5 cm). Results
+    and cell numbering are IDENTICAL to the unbounded path; inputs that
+    do overflow fall back to the exact big tables via lax.cond at runtime
+    (both branches compiled, one executed). Output shapes are unchanged
+    (C = 2 * N padded slots) either way.
 
     Groups valid rows by world voxel of side `radius` (3-key lexicographic
     sort — no linearized key, no int32 overflow regime), splits each voxel's
@@ -162,30 +172,67 @@ def voxel_merge(
     seg0 = jnp.where(valid & (seg_of_row >= 0), seg_of_row, N)
 
     w = weights.astype(jnp.float32)
-    nsum = jnp.zeros((N, 3), jnp.float32).at[seg0].add(
-        normals * w[:, None], mode="drop"
-    )
-    nmean = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12)
-    agree = jnp.einsum(
-        "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, N - 1)], precision="highest"
-    )
-    secondary = (agree <= min_cosine) & valid
-
-    seg = jnp.where(seg0 < N, seg0 * 2 + secondary.astype(jnp.int32), C)
-
     # one fused [N,11] row scatter instead of five separate segment_sums
     # (scatter passes serialize per update — docs/DESIGN.md). The occurrence
     # counters ride as f32: their per-cell sums are bounded by the session
     # frame count << 2^24, so the round-trip is exact. Invalid rows (seg ==
-    # C, OOB for the [C,11] buffer) drop instead of hitting a trash row.
+    # table height, OOB) drop instead of hitting a trash row.
     occ_f = occurences.astype(jnp.float32)
-    acc = jnp.zeros((C, 11), jnp.float32).at[seg].add(
-        jnp.concatenate(
-            [w[:, None], occ_f[:, None], points * w[:, None],
-             colors * w[:, None], normals * w[:, None]], axis=1,
-        ),
-        mode="drop",
+    payload = jnp.concatenate(
+        [w[:, None], occ_f[:, None], points * w[:, None],
+         colors * w[:, None], normals * w[:, None]], axis=1,
     )
+
+    def _group_and_sum(R: int):
+        """Normal-split + fused aggregate with [R]/[2R]-row scatter tables.
+
+        R == N is the exact unconditional path. R < N is only correct
+        when every run id is < R — the caller guards with lax.cond on the
+        actual run count. Motivation (r4, measured): multi-column scatter
+        cost grows with TABLE HEIGHT, not update count (3.4 ms into
+        [16k,11] vs 14.7 ms into [307k,11] for the same 307k updates —
+        the table crosses out of VMEM and XLA copies it through a
+        transposed layout), and these two scatters were 33 of the VGA
+        fuse step's 61 ms/frame.
+        """
+        segc = jnp.where(seg0 < R, seg0, R) if R < N else seg0
+        nsum = jnp.zeros((R, 3), jnp.float32).at[segc].add(
+            normals * w[:, None], mode="drop"
+        )
+        nmean = nsum / jnp.maximum(
+            jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12
+        )
+        agree = jnp.einsum(
+            "nc,nc->n", normals, nmean[jnp.clip(segc, 0, R - 1)],
+            precision="highest",
+        )
+        secondary = (agree <= min_cosine) & valid
+        seg = jnp.where(seg0 < N, seg0 * 2 + secondary.astype(jnp.int32), C)
+        segs = jnp.where(seg < 2 * R, seg, 2 * R)
+        acc = jnp.zeros((2 * R, 11), jnp.float32).at[segs].add(
+            payload, mode="drop"
+        )
+        if R < N:
+            # pad to the contract shape: cell ids are identical to the
+            # exact path (< 2R by the guard), rows beyond stay zero
+            acc = jax.lax.dynamic_update_slice(
+                jnp.zeros((C, 11), jnp.float32), acc, (0, 0)
+            )
+        return acc, seg
+
+    if max_cells is not None and 0 < max_cells < C:
+        R = max_cells // 2
+        nruns = runid_sorted[-1] + 1
+        # overflow (> R distinct voxels in one input) keeps the exact big
+        # tables; the compiled program contains both branches, runtime
+        # executes one — in-contract frames never pay the big scatters
+        acc, seg = jax.lax.cond(
+            nruns > R,
+            lambda: _group_and_sum(N),
+            lambda: _group_and_sum(R),
+        )
+    else:
+        acc, seg = _group_and_sum(N)
     cnt, occ = acc[:, 0], acc[:, 1]
     psum, csum, n2sum = acc[:, 2:5], acc[:, 5:8], acc[:, 8:11]
 
@@ -214,6 +261,7 @@ def patch_sparsify(
     radius: float,
     min_cosine: float,
     extent_cells: int | None = None,
+    max_cells: int | None = None,
 ) -> SparsifyResult:
     """Sparsify one frame (dense pixel cloud -> per-voxel means).
 
@@ -228,6 +276,8 @@ def patch_sparsify(
       extent_cells: static per-axis voxel-extent bound enabling the packed
         single-key sort (see voxel_merge); a depth-culled frame satisfies
         extent_cells = ceil(2 * max_depth / radius) + margin.
+      max_cells: static bound on the scatter working-table height (see
+        voxel_merge) — identical results, lax.cond fallback on overflow.
 
     Returns:
       SparsifyResult with C = 2 * H * W padded cell slots (a frame produces
@@ -236,7 +286,8 @@ def patch_sparsify(
     HW = height * width
     ones = jnp.ones((HW,), jnp.int32)
     m = voxel_merge(points, normals, colors, ones, ones, valid, radius,
-                    min_cosine, extent_cells=extent_cells)
+                    min_cosine, extent_cells=extent_cells,
+                    max_cells=max_cells)
     return SparsifyResult(
         m.points, m.normals, m.colors, m.counts, m.cell_of_input, m.num_cells
     )

@@ -46,7 +46,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fusion3dseg_tpu.fusion.fusion import (
     FusionState, _append_sparsified, _empty_state, _frame_extent_cells,
-    _fuse_frame, _match_pixels, _seed_frame,
+    _fuse_frame, _match_pixels, _seed_frame, _sparsify_max_cells,
 )
 from fusion3dseg_tpu.geometry import camera, intersections
 from fusion3dseg_tpu.ops import sparsify
@@ -271,6 +271,7 @@ def fuse_session_spatial_sharded(
         sp0 = sparsify.patch_sparsify(
             fps[0], fns[0], fcs[0], fvs[0], height, width, radius, min_cosine,
             extent_cells=_frame_extent_cells(max_depth, radius),
+            max_cells=_sparsify_max_cells(height * width),
         )
         state, c2s = _append_owned(state, sp0, rank)
         uv0 = jnp.where(
@@ -454,6 +455,7 @@ def fuse_session_spatial_sharded(
             sp = sparsify.patch_sparsify(
                 fp, fn, fc, leftover, height, width, radius, min_cosine,
                 extent_cells=_frame_extent_cells(max_depth, radius),
+                max_cells=_sparsify_max_cells(height * width),
             )
             state, c2s = _append_owned(state, sp, rank)
 

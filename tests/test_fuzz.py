@@ -88,3 +88,47 @@ def test_packed_sparsify_fuzz(seed):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref, fld)), np.asarray(getattr(got, fld)),
             err_msg=f"{fld} seed={seed} N={N} ext={ext}")
+
+
+@pytest.mark.parametrize("seed", [11, 313, 7777])
+def test_bounded_table_sparsify_fuzz(seed):
+    """Property: voxel_merge with max_cells (the r4 small-scatter-table
+    path) produces identical grouping, numbering and means to the
+    unbounded path — both below the bound (small branch) and in forced
+    overflow (lax.cond fallback to the exact big tables)."""
+    import jax.numpy as jnp
+
+    from fusion3dseg_tpu.ops.sparsify import voxel_merge
+
+    rng = np.random.default_rng(seed)
+    N = int(rng.integers(256, 4000))
+    scale = float(rng.uniform(0.5, 8.0))
+    radius = float(rng.uniform(0.05, 0.5))
+    pts = rng.uniform(-scale, scale, size=(N, 3)).astype(np.float32)
+    nrm = rng.normal(size=(N, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    clr = rng.random((N, 3)).astype(np.float32)
+    w = rng.integers(1, 5, N).astype(np.int32)
+    occ = rng.integers(1, 9, N).astype(np.int32)
+    valid = rng.random(N) > 0.3
+    args = tuple(jnp.asarray(x) for x in (pts, nrm, clr, w, occ, valid))
+    ext = int(np.ceil(2 * scale / radius)) + 3
+
+    ref = voxel_merge(*args, radius, 0.9, extent_cells=ext)
+    nruns_actual = int(
+        np.asarray((ref.counts > 0)[0::2].sum() + (ref.counts > 0)[1::2].sum())
+    )
+    # generous bound -> small branch taken; tiny bound -> overflow fallback
+    for max_cells in (2 * N - 2, 8):
+        got = voxel_merge(*args, radius, 0.9, extent_cells=ext,
+                          max_cells=max_cells)
+        for fld in ref._fields[:-1]:
+            r, g = np.asarray(getattr(ref, fld)), np.asarray(getattr(got, fld))
+            if fld in ("points", "normals", "colors"):
+                occm = np.asarray(ref.counts) > 0
+                np.testing.assert_allclose(
+                    r[occm], g[occm], atol=1e-6,
+                    err_msg=f"{fld} seed={seed} max_cells={max_cells}")
+            else:
+                np.testing.assert_array_equal(
+                    r, g, err_msg=f"{fld} seed={seed} max_cells={max_cells}")
