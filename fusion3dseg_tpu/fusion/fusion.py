@@ -196,6 +196,18 @@ def _sparsify_max_cells(npixels: int) -> int:
     return min(1 << 17, max(npixels // 2, 1 << 12))
 
 
+def _sparsify_max_rows(npixels: int) -> int:
+    """Sorted-prefix bound for the per-frame sparsify's VALID-row count
+    (ops/sparsify.voxel_merge max_rows): the steady-state leftover mask —
+    valid pixels that failed to merge — is a small fraction of the frame
+    once coverage builds (the engine's ~25:1 sparsification), so the
+    post-sort per-row passes run at npixels // 4 rank. Early frames with
+    leftover above the bound lax.cond-overflow to the exact full-rank
+    tail (identical results, r4-measured ~2x tail cost) — a handful of
+    frames per session, never a correctness limit."""
+    return min(1 << 17, max(npixels // 4, 1 << 12))
+
+
 def _seed_frame(
     state: FusionState,
     fpts, fnrm, fclr, fvalid,
@@ -535,6 +547,7 @@ def _fuse_frame(
         fpts, fnrm, fclr, leftover, height, width, radius, min_cosine,
         extent_cells=_frame_extent_cells(max_depth, radius),
         max_cells=_sparsify_max_cells(height * width),
+        max_rows=_sparsify_max_rows(height * width),
     )
     state, cell2slot = _append_sparsified(state, sp, capacity)
 

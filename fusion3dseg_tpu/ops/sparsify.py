@@ -72,6 +72,7 @@ def voxel_merge(
     min_cosine: float,
     extent_cells: int | None = None,
     max_cells: int | None = None,
+    max_rows: int | None = None,
 ) -> MergeResult:
     """Weight-aware voxel merge of an arbitrary point set (the cross-chunk
     combiner behind the sharded fusion engine, and the kernel inside
@@ -85,6 +86,16 @@ def voxel_merge(
     do overflow fall back to the exact big tables via lax.cond at runtime
     (both branches compiled, one executed). Output shapes are unchanged
     (C = 2 * N padded slots) either way.
+
+    `max_rows` (static): bound the per-row grouping work to the first
+    max_rows SORTED rows when at most max_rows input rows are expected to
+    be valid (the fusion engine's steady-state leftover is a small
+    fraction of the frame). The sort routes valid keys ahead of the
+    sentinel, so all valid rows live in the sorted prefix; every
+    post-sort pass (row gather, normal-split scatter, aggregate scatter,
+    per-row cell map) then runs at max_rows rank instead of N. Same
+    lax.cond overflow contract as max_cells: more valid rows than the
+    bound falls back to the full-rank tail, identical results.
 
     Groups valid rows by world voxel of side `radius` (3-key lexicographic
     sort — no linearized key, no int32 overflow regime), splits each voxel's
@@ -149,67 +160,73 @@ def voxel_merge(
         packed = jnp.where(valid & in_extent, packed, INT32_MAX)
         valid = valid & in_extent
         sp, sidx = jax.lax.sort((packed, ids), num_keys=1)
+        vs_sorted = sp != INT32_MAX
         newrun = jnp.concatenate(
             [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
-        ) & (sp != INT32_MAX)
+        ) & vs_sorted
     else:
         kx = jnp.where(valid, vox[:, 0], INT32_MAX)
         ky = jnp.where(valid, vox[:, 1], INT32_MAX)
         kz = jnp.where(valid, vox[:, 2], INT32_MAX)
         sx, sy, sz, sidx = jax.lax.sort((kx, ky, kz, ids), num_keys=3)
+        vs_sorted = sx != INT32_MAX
         newrun = jnp.concatenate(
             [
                 jnp.ones((1,), bool),
                 (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1]),
             ]
-        ) & (sx != INT32_MAX)
+        ) & vs_sorted
     runid_sorted = jnp.cumsum(newrun.astype(jnp.int32)) - 1
-    seg_of_row = jnp.zeros((N,), jnp.int32).at[sidx].set(runid_sorted)
-    # invalid rows drop-route (index N is OOB for the [N,3] buffer) rather
-    # than accumulating into a trash segment — one hot segment serializes
-    # its RMW chain (docs/DESIGN.md r3 probes); same update order, so the
-    # per-cell float sums are bit-identical.
-    seg0 = jnp.where(valid & (seg_of_row >= 0), seg_of_row, N)
 
     w = weights.astype(jnp.float32)
-    # one fused [N,11] row scatter instead of five separate segment_sums
-    # (scatter passes serialize per update — docs/DESIGN.md). The occurrence
-    # counters ride as f32: their per-cell sums are bounded by the session
-    # frame count << 2^24, so the round-trip is exact. Invalid rows (seg ==
-    # table height, OOB) drop instead of hitting a trash row.
     occ_f = occurences.astype(jnp.float32)
-    payload = jnp.concatenate(
-        [w[:, None], occ_f[:, None], points * w[:, None],
-         colors * w[:, None], normals * w[:, None]], axis=1,
+    # one [N,11] elementwise concat (bandwidth-cheap), then ONE row gather
+    # into sorted order per tail — every per-row serialized pass below runs
+    # on the sorted prefix. The occurrence counters ride as f32: their
+    # per-cell sums are bounded by the session frame count << 2^24, so the
+    # round-trip is exact.
+    rows = jnp.concatenate(
+        [w[:, None], occ_f[:, None], points, colors, normals], axis=1
     )
 
-    def _group_and_sum(R: int):
-        """Normal-split + fused aggregate with [R]/[2R]-row scatter tables.
+    def _full(R: int):
+        """Normal-split + fused aggregate over ALL N rows in ORIGINAL row
+        order with [R]/[2R]-row scatter tables.
 
-        R == N is the exact unconditional path. R < N is only correct
-        when every run id is < R — the caller guards with lax.cond on the
-        actual run count. Motivation (r4, measured): multi-column scatter
-        cost grows with TABLE HEIGHT, not update count (3.4 ms into
-        [16k,11] vs 14.7 ms into [307k,11] for the same 307k updates —
-        the table crosses out of VMEM and XLA copies it through a
-        transposed layout), and these two scatters were 33 of the VGA
-        fuse step's 61 ms/frame.
+        R == N is the exact unconditional path; R < N requires every run
+        id < R — the caller guards with lax.cond on the run count.
+        Original-order scattering costs one [N] run-id scatter but skips
+        the [N,11] sorted-row gather and the rank-N cell-map scatter the
+        prefix variant pays (gathers serialize per row too — the r4 VGA
+        probe measured the gather formulation at full rank 5 ms/frame
+        SLOWER than this one). Motivation for R < N (measured): scatter
+        cost grows with TABLE HEIGHT (3.4 ms into [16k,11] vs 14.7 ms
+        into [307k,11], same 307k updates — the non-aliased table leaves
+        VMEM and XLA copies it through a transposed layout).
         """
-        segc = jnp.where(seg0 < R, seg0, R) if R < N else seg0
-        nsum = jnp.zeros((R, 3), jnp.float32).at[segc].add(
+        seg_of_row = jnp.zeros((N,), jnp.int32).at[sidx].set(runid_sorted)
+        ok = valid & (seg_of_row >= 0)
+        # invalid rows drop-route (index R/2R is OOB) rather than
+        # accumulating into a trash segment — one hot segment serializes
+        # its RMW chain (docs/DESIGN.md r3 probes)
+        seg0 = jnp.where(ok, seg_of_row, R)
+        nsum = jnp.zeros((R, 3), jnp.float32).at[seg0].add(
             normals * w[:, None], mode="drop"
         )
         nmean = nsum / jnp.maximum(
             jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12
         )
         agree = jnp.einsum(
-            "nc,nc->n", normals, nmean[jnp.clip(segc, 0, R - 1)],
+            "nc,nc->n", normals, nmean[jnp.clip(seg0, 0, R - 1)],
             precision="highest",
         )
-        secondary = (agree <= min_cosine) & valid
-        seg = jnp.where(seg0 < N, seg0 * 2 + secondary.astype(jnp.int32), C)
-        segs = jnp.where(seg < 2 * R, seg, 2 * R)
-        acc = jnp.zeros((2 * R, 11), jnp.float32).at[segs].add(
+        secondary = (agree <= min_cosine) & ok
+        seg = jnp.where(ok, seg_of_row * 2 + secondary.astype(jnp.int32),
+                        2 * R)
+        payload = jnp.concatenate(
+            [rows[:, :2], rows[:, 2:] * w[:, None]], axis=1
+        )
+        acc = jnp.zeros((2 * R, 11), jnp.float32).at[seg].add(
             payload, mode="drop"
         )
         if R < N:
@@ -218,21 +235,94 @@ def voxel_merge(
             acc = jax.lax.dynamic_update_slice(
                 jnp.zeros((C, 11), jnp.float32), acc, (0, 0)
             )
+        return acc, jnp.where(seg < 2 * R, seg, C)
+
+    def _prefix(L: int, R: int):
+        """Normal-split + fused aggregate over the first L < N SORTED rows
+        with [R]/[2R]-row scatter tables.
+
+        Requires every valid row to land in the sorted prefix of length L
+        (nvalid <= L) — the caller guards with lax.cond on the valid
+        count. The sort routes valid keys ahead of the sentinel, so the
+        one [L,11] row gather puts every per-row serialized pass below at
+        rank L instead of N — this is what removes the [N]-rank passes
+        from the engine's steady-state frame (leftover is a small
+        fraction of the frame once coverage builds). NOTE: this variant
+        accumulates in sorted-row order while _full accumulates in
+        original order, so overflow-branch selection can move the f32
+        cell sums within rounding (counts and cell ids are exact either
+        way; consumers tolerate ~1e-6).
+        """
+        sl = slice(0, L)
+        sidx_l, run_l, vs_l = sidx[sl], runid_sorted[sl], vs_sorted[sl]
+        rows_l = rows[sidx_l]
+        w_l = rows_l[:, 0]
+        nrm_l = rows_l[:, 8:11]
+        # invalid rows drop-route (index R/2R is OOB) rather than
+        # accumulating into a trash segment — one hot segment serializes
+        # its RMW chain (docs/DESIGN.md r3 probes)
+        seg0_l = jnp.where(vs_l, run_l, R)
+        nsum = jnp.zeros((R, 3), jnp.float32).at[seg0_l].add(
+            nrm_l * w_l[:, None], mode="drop"
+        )
+        nmean = nsum / jnp.maximum(
+            jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-12
+        )
+        agree = jnp.einsum(
+            "nc,nc->n", nrm_l, nmean[jnp.clip(seg0_l, 0, R - 1)],
+            precision="highest",
+        )
+        secondary = (agree <= min_cosine) & vs_l
+        seg_l = jnp.where(vs_l, run_l * 2 + secondary.astype(jnp.int32), 2 * R)
+        # one fused [L,11] row scatter instead of five separate
+        # segment_sums (scatter passes serialize per update)
+        payload_l = jnp.concatenate(
+            [rows_l[:, :2], rows_l[:, 2:] * w_l[:, None]], axis=1
+        )
+        acc = jnp.zeros((2 * R, 11), jnp.float32).at[seg_l].add(
+            payload_l, mode="drop"
+        )
+        if R < N:
+            # pad to the contract shape: cell ids are identical to the
+            # exact path (< 2R by the guard), rows beyond stay zero
+            acc = jax.lax.dynamic_update_slice(
+                jnp.zeros((C, 11), jnp.float32), acc, (0, 0)
+            )
+        # per-row cell map back at original rank; untouched rows (possible
+        # only under L < N, where they are all invalid) keep C
+        seg = jnp.full((N,), C, jnp.int32).at[sidx_l].set(
+            jnp.where(seg_l < 2 * R, seg_l, C)
+        )
         return acc, seg
 
-    if max_cells is not None and 0 < max_cells < C:
-        R = max_cells // 2
-        nruns = runid_sorted[-1] + 1
-        # overflow (> R distinct voxels in one input) keeps the exact big
-        # tables; the compiled program contains both branches, runtime
-        # executes one — in-contract frames never pay the big scatters
+    L = min(int(max_rows), N) if max_rows is not None and max_rows > 0 else N
+    R = min(int(max_cells) // 2, N) if max_cells is not None \
+        and 0 < max_cells < C else N
+    nruns = runid_sorted[-1] + 1
+    nvalid = jnp.sum(valid.astype(jnp.int32))
+
+    # The two bounds decouple: a frame with more valid rows than L (e.g. a
+    # window-starved fuse step whose leftover is most of the frame) must
+    # NOT forfeit the small scatter tables too — its voxel count still
+    # fits R (measured r4: the joint guard cost a starved VGA frame 31 ms
+    # in the [N]-table tail vs 15 ms with tables still bounded). Overflow
+    # of a bound selects the exact full-rank variant for that axis only;
+    # the compiled program contains each needed tail, runtime executes one.
+    def _pick_R(make_tail):
+        if R < N:
+            return jax.lax.cond(
+                nruns > R, lambda: make_tail(N), lambda: make_tail(R)
+            )
+        return make_tail(N)
+
+    if L < N:
         acc, seg = jax.lax.cond(
-            nruns > R,
-            lambda: _group_and_sum(N),
-            lambda: _group_and_sum(R),
+            nvalid > L,
+            lambda: _pick_R(_full),
+            lambda: _pick_R(lambda R_: _prefix(L, R_)),
         )
     else:
-        acc, seg = _group_and_sum(N)
+        acc, seg = _pick_R(_full)
     cnt, occ = acc[:, 0], acc[:, 1]
     psum, csum, n2sum = acc[:, 2:5], acc[:, 5:8], acc[:, 8:11]
 
@@ -262,6 +352,7 @@ def patch_sparsify(
     min_cosine: float,
     extent_cells: int | None = None,
     max_cells: int | None = None,
+    max_rows: int | None = None,
 ) -> SparsifyResult:
     """Sparsify one frame (dense pixel cloud -> per-voxel means).
 
@@ -278,6 +369,10 @@ def patch_sparsify(
         extent_cells = ceil(2 * max_depth / radius) + margin.
       max_cells: static bound on the scatter working-table height (see
         voxel_merge) — identical results, lax.cond fallback on overflow.
+      max_rows: static bound on the number of VALID pixels (see
+        voxel_merge) — identical results, lax.cond fallback on overflow;
+        the fusion engine's steady-state leftover mask satisfies a small
+        fraction of H*W.
 
     Returns:
       SparsifyResult with C = 2 * H * W padded cell slots (a frame produces
@@ -287,7 +382,7 @@ def patch_sparsify(
     ones = jnp.ones((HW,), jnp.int32)
     m = voxel_merge(points, normals, colors, ones, ones, valid, radius,
                     min_cosine, extent_cells=extent_cells,
-                    max_cells=max_cells)
+                    max_cells=max_cells, max_rows=max_rows)
     return SparsifyResult(
         m.points, m.normals, m.colors, m.counts, m.cell_of_input, m.num_cells
     )

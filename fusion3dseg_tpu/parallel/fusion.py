@@ -47,6 +47,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from fusion3dseg_tpu.fusion.fusion import (
     FusionState, _append_sparsified, _empty_state, _frame_extent_cells,
     _fuse_frame, _match_pixels, _seed_frame, _sparsify_max_cells,
+    _sparsify_max_rows,
 )
 from fusion3dseg_tpu.geometry import camera, intersections
 from fusion3dseg_tpu.ops import sparsify
@@ -456,6 +457,7 @@ def fuse_session_spatial_sharded(
                 fp, fn, fc, leftover, height, width, radius, min_cosine,
                 extent_cells=_frame_extent_cells(max_depth, radius),
                 max_cells=_sparsify_max_cells(height * width),
+                max_rows=_sparsify_max_rows(height * width),
             )
             state, c2s = _append_owned(state, sp, rank)
 

@@ -118,17 +118,23 @@ def test_bounded_table_sparsify_fuzz(seed):
     nruns_actual = int(
         np.asarray((ref.counts > 0)[0::2].sum() + (ref.counts > 0)[1::2].sum())
     )
-    # generous bound -> small branch taken; tiny bound -> overflow fallback
-    for max_cells in (2 * N - 2, 8):
+    # generous bounds -> small branch taken; tiny bounds -> overflow
+    # fallback; max_rows exercises the sorted-prefix tail both ways
+    nvalid = int(valid.sum())
+    for max_cells, max_rows in (
+        (2 * N - 2, None), (8, None),
+        (None, nvalid + 1), (None, max(nvalid - 7, 1)),
+        (2 * N - 2, nvalid + 1), (8, max(nvalid - 7, 1)),
+    ):
         got = voxel_merge(*args, radius, 0.9, extent_cells=ext,
-                          max_cells=max_cells)
+                          max_cells=max_cells, max_rows=max_rows)
         for fld in ref._fields[:-1]:
             r, g = np.asarray(getattr(ref, fld)), np.asarray(getattr(got, fld))
             if fld in ("points", "normals", "colors"):
                 occm = np.asarray(ref.counts) > 0
                 np.testing.assert_allclose(
                     r[occm], g[occm], atol=1e-6,
-                    err_msg=f"{fld} seed={seed} max_cells={max_cells}")
+                    err_msg=f"{fld} seed={seed} mc={max_cells} mr={max_rows}")
             else:
                 np.testing.assert_array_equal(
-                    r, g, err_msg=f"{fld} seed={seed} max_cells={max_cells}")
+                    r, g, err_msg=f"{fld} seed={seed} mc={max_cells} mr={max_rows}")
