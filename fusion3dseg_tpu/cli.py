@@ -60,6 +60,9 @@ def main(argv=None):
                         "in-repo shipped snapshot for the chosen model "
                         "when one exists (pass 'random' to skip)")
     s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--input-size", type=int, default=None,
+                   help="model input resolution; default: the size the "
+                        "checkpoint was trained at (its recorded metadata)")
 
     s = sub.add_parser("ingest", help="load an rtabmap-export dir; optionally write the pickle cache")
     s.add_argument("export_dir")
@@ -200,6 +203,10 @@ def main(argv=None):
     s.add_argument("--num-classes", type=int, default=134)
     s.add_argument("--seed", type=int, default=0,
                    help="init seed for the non-imported decoder head")
+    s.add_argument("--input-size", type=int, default=512,
+                   help="resolution the HF checkpoint was trained at "
+                        "(recorded in the snapshot so loaders default to "
+                        "it; HF segformer-finetuned models use 512)")
 
     s = sub.add_parser(
         "calibrate",
@@ -257,7 +264,10 @@ def main(argv=None):
         seg = Segmenter2D(
             config=SegFormerConfig.named(args.model),
             checkpoint_dir=ckpt, batch_size=args.batch_size,
+            input_hw=(args.input_size, args.input_size)
+            if args.input_size else None,
         )
+        print(f"input size: {seg.input_hw[0]}x{seg.input_hw[1]}")
         SegmentImage(
             args.input_dir, args.output_dir, extension=args.extension,
             conf_threshold=args.conf_threshold, segmenter=seg,
@@ -447,7 +457,8 @@ def main(argv=None):
                        jnp.zeros((1, 64, 64, 3)))["params"]
         )
         params = params_from_hf_segformer(sd, cfg, params_template=concrete)
-        save_params_npz(args.out_npz, params)
+        save_params_npz(args.out_npz, params,
+                        input_hw=(args.input_size, args.input_size))
         print(f"wrote {args.out_npz} — fine-tune the decoder with: "
               "python -m fusion3dseg_tpu train --resume ...")
 
