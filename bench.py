@@ -482,7 +482,7 @@ def fusion_and_e2e(args, result):
     # the engage threshold to 2^17 after measuring 75.9 -> 104.6 fps there)
     seed_cells = fusion_engine.seed_cells_for_frame(
         fargs[3][0], fargs[4][0], fargs[5][0], fargs[6][0],
-        256, 192, 0.05, float(np.cos(np.deg2rad(10.0))),
+        256, 192, 0.05, float(np.cos(np.deg2rad(10.0))), max_depth=8.0,
     )
 
     fcap = 1 << 17

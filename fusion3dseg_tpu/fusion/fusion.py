@@ -888,6 +888,7 @@ def auto_window(seed_cells: int, capacity: int) -> Optional[int]:
 def seed_cells_for_frame(
     points0, normals0, colors0, valid0,
     height: int, width: int, radius: float, min_cosine: float,
+    max_depth: float | None = None,
 ) -> int:
     """Occupied-cell count of a seed frame — auto_window's data input.
 
@@ -898,14 +899,27 @@ def seed_cells_for_frame(
     feed the result to `auto_window(seed_cells, capacity)` — once per
     capacity of interest.
 
+    Pass `max_depth` (the engine's own depth bound) so the sizing program
+    uses the SAME bounded-table kernel shape (_frame_extent_cells /
+    _sparsify_max_cells) that _seed_frame compiles — identical results by
+    the overflow contract, but the compile cache is shared instead of
+    paying a second multi-minute cold compile of the unbounded variant on
+    the tunnel platform. Without it, the exact unbounded kernel runs.
+
     Cost note: this is a standalone device program + a host scalar sync
     (30-90 ms of tunnel dispatch latency, CLAUDE.md) — repeated-call paths
     should compute it once per session and pass the resulting window
     through.
     """
+    bounds = {}
+    if max_depth is not None:
+        bounds = dict(
+            extent_cells=_frame_extent_cells(max_depth, radius),
+            max_cells=_sparsify_max_cells(height * width),
+        )
     sp0 = sparsify.patch_sparsify(
         points0, normals0, colors0, valid0, height, width, radius,
-        min_cosine,
+        min_cosine, **bounds,
     )
     return int(np.asarray(jnp.sum(sp0.counts > 0)))
 

@@ -95,7 +95,12 @@ def voxel_merge(
     post-sort pass (row gather, normal-split scatter, aggregate scatter,
     per-row cell map) then runs at max_rows rank instead of N. Same
     lax.cond overflow contract as max_cells: more valid rows than the
-    bound falls back to the full-rank tail, identical results.
+    bound falls back to the full-rank tail. Unlike max_cells, the
+    bounded branch accumulates normal sums in SORTED-row order while the
+    full branch uses original order, so results agree within f32
+    rounding; a row whose normal agreement sits exactly at min_cosine
+    can flip its secondary-split cell between branches (measure-zero;
+    see _prefix).
 
     Groups valid rows by world voxel of side `radius` (3-key lexicographic
     sort — no linearized key, no int32 overflow regime), splits each voxel's
@@ -250,8 +255,12 @@ def voxel_merge(
         fraction of the frame once coverage builds). NOTE: this variant
         accumulates in sorted-row order while _full accumulates in
         original order, so overflow-branch selection can move the f32
-        cell sums within rounding (counts and cell ids are exact either
-        way; consumers tolerate ~1e-6).
+        cell sums within rounding. Counts and cell ids match too, EXCEPT
+        for the measure-zero case of a row whose normal agreement lands
+        exactly on min_cosine: the `agree <= min_cosine` secondary-split
+        test reads the f32 normal sum, so a different summation order can
+        flip that row's cell assignment (consumers tolerate ~1e-6 on the
+        sums and never depend on threshold-exact splits).
         """
         sl = slice(0, L)
         sidx_l, run_l, vs_l = sidx[sl], runid_sorted[sl], vs_sorted[sl]

@@ -146,7 +146,7 @@ def segment_session_fast(
         window = fusion_engine.auto_window(
             fusion_engine.seed_cells_for_frame(
                 fargs[3][0], fargs[4][0], fargs[5][0], fargs[6][0],
-                hd, wd, radius, min_cosine,
+                hd, wd, radius, min_cosine, max_depth=max_depth,
             ),
             capacity,
         )

@@ -128,7 +128,6 @@ class TestFastSegmentation:
         cats = {int(i["category_id"]) for i in res.instance_info}
         assert any(c > 1 for c in cats)  # the room has classes beyond 0/1
         for inf in res.instance_info:
-            expected = inf["category_id"] if inf["category_id"] <= 1 else None
             assert inf["parent_id"] == (
                 tiny.parent_ids[inf["category_id"]]
                 if inf["category_id"] <= 1 else None

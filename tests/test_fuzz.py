@@ -118,13 +118,18 @@ def test_bounded_table_sparsify_fuzz(seed):
     nruns_actual = int(
         np.asarray((ref.counts > 0)[0::2].sum() + (ref.counts > 0)[1::2].sum())
     )
-    # generous bounds -> small branch taken; tiny bounds -> overflow
-    # fallback; max_rows exercises the sorted-prefix tail both ways
+    # generous bounds -> small branch taken; a bound strictly below the
+    # measured run count -> guaranteed overflow fallback (self-verifying:
+    # derived from the unbounded result, not a magic constant); max_rows
+    # exercises the sorted-prefix tail both ways. Counts/ids equality
+    # below relies on no row's normal agreement landing exactly on
+    # min_cosine (measure-zero for random data; see voxel_merge._prefix).
     nvalid = int(valid.sum())
+    mc_overflow = max(nruns_actual - 1, 1)
     for max_cells, max_rows in (
-        (2 * N - 2, None), (8, None),
+        (2 * N - 2, None), (mc_overflow, None),
         (None, nvalid + 1), (None, max(nvalid - 7, 1)),
-        (2 * N - 2, nvalid + 1), (8, max(nvalid - 7, 1)),
+        (2 * N - 2, nvalid + 1), (mc_overflow, max(nvalid - 7, 1)),
     ):
         got = voxel_merge(*args, radius, 0.9, extent_cells=ext,
                           max_cells=max_cells, max_rows=max_rows)
