@@ -32,7 +32,7 @@ from . import fusion as fusion_engine
     static_argnames=(
         "height", "width", "radius", "min_cosine", "max_depth",
         "capacity", "nclasses", "threshold", "filter_classes",
-        "candidate_px", "window", "window_policy", "dedup",
+        "candidate_px", "window", "window_policy", "dedup", "with_stats",
     ),
 )
 def fuse_session_and_vote(
@@ -58,6 +58,7 @@ def fuse_session_and_vote(
     window: Optional[int] = None,
     window_policy: str = "newest",
     dedup: bool = True,
+    with_stats: bool = False,
 ) -> Tuple[fusion_engine.FusionState, jax.Array, jax.Array, jax.Array]:
     """Fuse a session AND lift the 2D masks to per-point classes, fused.
 
@@ -71,14 +72,63 @@ def fuse_session_and_vote(
     (nclasses, the "unclassified" id, included) fits — i.e. for the
     COCO-133 taxonomy — else int32. Rows >= state.n of votes/classes are
     vote-free padding (classified "unclassified"); slice on the host
-    after reading `n`.
+    after reading `n`. `with_stats` (static) appends the per-frame
+    visible-span telemetry (see fusion.fuse_session) — span > window on
+    any frame means duplicates were appended; repair with
+    `dedup_and_revote`.
     """
-    state, uv2pt = fusion_engine.fuse_session(
+    out = fusion_engine.fuse_session(
         Ks, quats_wxyz, translations, points, normals, colors, valid,
         height=height, width=width, radius=radius, min_cosine=min_cosine,
         max_depth=max_depth, capacity=capacity, candidate_px=candidate_px,
-        window=window, window_policy=window_policy,
+        window=window, window_policy=window_policy, with_stats=with_stats,
     )
+    state, uv2pt = out[0], out[1]
+    votes, classes = voting.vote_and_classify(
+        uv2pt, masks, capacity, nclasses,
+        threshold=threshold, filter_classes=filter_classes, dedup=dedup,
+    )
+    if nclasses <= 255:
+        classes = classes.astype(jnp.uint8)
+    if with_stats:
+        return state, uv2pt, votes, classes, out[2]
+    return state, uv2pt, votes, classes
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "capacity", "nclasses", "threshold", "filter_classes", "dedup",
+    ),
+)
+def dedup_and_revote(
+    state: fusion_engine.FusionState,
+    uv2pt: jax.Array,  # [F, H*W] int32 slot ids
+    masks: jax.Array,  # [F, H*W] class-id images
+    radius: float,
+    min_cosine: float,
+    *,
+    capacity: int,
+    nclasses: int,
+    threshold: float = 0.5,
+    filter_classes: Optional[Tuple[int, ...]] = None,
+    dedup: bool = True,
+) -> Tuple[fusion_engine.FusionState, jax.Array, jax.Array, jax.Array]:
+    """Window-overflow repair for the fused fuse+vote pipeline: dedup the
+    buffer (fusion.dedup_state), remap uv2pt to the compacted slots, and
+    re-vote — ONE extra program dispatch, executed only when
+    fuse_session_and_vote's with_stats spans reported overflow.
+
+    Re-voting from the remapped uv2pt (instead of segment-summing the old
+    vote table) keeps the per-(point, frame) dedup semantics exact: a
+    frame that voted for two now-merged slots contributes one vote, the
+    same as if fusion had merged them in-scan. Same return contract as
+    fuse_session_and_vote.
+    """
+    state, slot_map = fusion_engine.dedup_state(
+        state, radius, min_cosine, capacity=capacity
+    )
+    uv2pt = fusion_engine.remap_uv2pt(uv2pt, slot_map)
     votes, classes = voting.vote_and_classify(
         uv2pt, masks, capacity, nclasses,
         threshold=threshold, filter_classes=filter_classes, dedup=dedup,

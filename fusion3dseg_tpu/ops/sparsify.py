@@ -73,6 +73,7 @@ def voxel_merge(
     extent_cells: int | None = None,
     max_cells: int | None = None,
     max_rows: int | None = None,
+    origin_shift: jax.Array | None = None,
 ) -> MergeResult:
     """Weight-aware voxel merge of an arbitrary point set (the cross-chunk
     combiner behind the sharded fusion engine, and the kernel inside
@@ -127,6 +128,13 @@ def voxel_merge(
 
     big = jnp.float32(3.0e38)
     pmin = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    if origin_shift is not None:
+        # shift the GRID (not the points): the grid anchors at the
+        # valid-point min, so shifting the points is a no-op up to f32
+        # rounding — callers that need a differently-phased grid (the
+        # dedup repair's shifted passes) move the anchor instead.
+        # origin_shift must be in [0, radius) per axis to keep vox >= 0.
+        pmin = pmin - jnp.asarray(origin_shift, jnp.float32)
     vox = jnp.floor((points - pmin) / radius).astype(jnp.int32)
     vox = jnp.maximum(vox, 0)
 

@@ -59,6 +59,11 @@ class FastSegmentation:
     n_instances_premerge: int  # instance count before the OBB merge
     state: object  # fusion.FusionState (device, full capacity)
     uv2pt: object  # [F, H*W] int32 device array (pixel -> point)
+    # window-overflow telemetry (fusion.fuse_session with_stats): frames
+    # whose visible span exceeded the merge window before the auto-dedup
+    # repair ran (0 = no overflow, output had no window duplicates)
+    overflow_frames: int = 0
+    spans: Optional[np.ndarray] = None  # [F] per-frame visible slot span
 
     @functools.cached_property
     def normals(self) -> np.ndarray:  # [n, 3]
@@ -91,6 +96,7 @@ def segment_session_fast(
     split_radius: Optional[float] = None,  # default 2 * radius
     min_pts_per_inst: int = 100,
     dedup: bool = True,
+    auto_dedup: bool = True,  # repair window-overflow duplicates post-scan
     merge_obbs: bool = True,
     outdir: Optional[str] = None,  # where merge_bb writes its artifacts
     taxonomy: Optional[tax.Taxonomy] = None,
@@ -157,12 +163,26 @@ def segment_session_fast(
         # device-resident SessionData, see docstring) so repeat calls
         # don't re-upload the session at ~20-40 MB/s
         fmasks = jnp.asarray(masks).reshape(session.nframes, -1)
-        state, uv2pt, _votes, classes_d = fused_pipeline.fuse_session_and_vote(
-            *fargs, fmasks, nclasses=nclasses, threshold=threshold,
-            filter_classes=(tuple(filter_classes)
-                            if filter_classes is not None else None),
-            window=window, window_policy=window_policy, dedup=dedup, **kw,
+        fclasses = (tuple(filter_classes)
+                    if filter_classes is not None else None)
+        state, uv2pt, _votes, classes_d, spans = (
+            fused_pipeline.fuse_session_and_vote(
+                *fargs, fmasks, nclasses=nclasses, threshold=threshold,
+                filter_classes=fclasses, window=window,
+                window_policy=window_policy, dedup=dedup,
+                with_stats=True, **kw,
+            )
         )
+        overflow_frames, spans_h = _overflow(spans, window)
+        if overflow_frames and auto_dedup:
+            # span > window on some frames: the scan appended duplicates
+            # it could not merge — ONE repair dispatch (dedup + uv2pt
+            # remap + exact re-vote), paid only in the overflow case
+            state, uv2pt, _votes, classes_d = fused_pipeline.dedup_and_revote(
+                state, uv2pt, fmasks, radius, min_cosine,
+                capacity=capacity, nclasses=nclasses, threshold=threshold,
+                filter_classes=fclasses, dedup=dedup,
+            )
         # transfer strategy, chosen statically by capacity (the
         # _append_sparsified pattern): small buffers ship full-capacity
         # and slice on the host — no extra dispatch, ~0.4 MB of padding;
@@ -183,9 +203,16 @@ def segment_session_fast(
             points = np.asarray(pts_sl)
             classes = np.asarray(cls_sl).astype(np.int32)
     else:
-        state, uv2pt = fusion_engine.fuse_session(
-            *fargs, window=window, window_policy=window_policy, **kw
+        state, uv2pt, spans = fusion_engine.fuse_session(
+            *fargs, window=window, window_policy=window_policy,
+            with_stats=True, **kw
         )
+        overflow_frames, spans_h = _overflow(spans, window)
+        if overflow_frames and auto_dedup:
+            state, slot_map = fusion_engine.dedup_state(
+                state, radius, min_cosine, capacity=capacity
+            )
+            uv2pt = fusion_engine.remap_uv2pt(uv2pt, slot_map)
         n = int(np.asarray(state.n))
         from .streaming import stream_segment
 
@@ -238,4 +265,17 @@ def segment_session_fast(
         points=points, classes=classes,
         instance_ids=np.asarray(ids), instance_info=list(info),
         n=n, n_instances_premerge=n_premerge, state=state, uv2pt=uv2pt,
+        overflow_frames=overflow_frames, spans=spans_h,
     )
+
+
+def _overflow(spans, window) -> Tuple[int, Optional[np.ndarray]]:
+    """Host-read the per-frame span telemetry; count overflowed frames.
+
+    One small [F] int32 sync — it blocks on the fuse program the same way
+    the `n` read right after would, so the no-overflow path pays no extra
+    device round-trip. Unwindowed runs (window None) cannot overflow."""
+    spans_h = np.asarray(spans)
+    if window is None:
+        return 0, spans_h
+    return int((spans_h > int(window)).sum()), spans_h

@@ -146,3 +146,40 @@ class TestFastSegmentation:
         np.testing.assert_array_equal(big.points, small.points)
         np.testing.assert_array_equal(big.classes, small.classes)
         np.testing.assert_array_equal(big.normals, small.normals)
+
+    def test_overflow_autodedup_on_revisit(self):
+        """A loop-closure session whose visible span exceeds the window
+        must surface overflow telemetry, and the default auto_dedup must
+        repair the appended duplicates (VERDICT r4 #2)."""
+        sess = synthetic.make_session(nframes=16, depth_hw=(48, 36),
+                                      turns=2.0)
+        sd = rtab.SessionData.from_arrays(
+            sess.colors, sess.depth, sess.K,
+            sess.quats_wxyz[:, [1, 2, 3, 0]], sess.translations,
+        )
+        masks = np.minimum(sess.gt_mask, 19)
+        kw = dict(radius=0.08, angle=20.0, nclasses=20, capacity=1 << 15,
+                  min_pts_per_inst=20, merge_obbs=False)
+        W = 1 << 12
+        raw = segment_session_fast(sd, masks=masks, window=W,
+                                   window_policy="newest",
+                                   auto_dedup=False, **kw)
+        fixed = segment_session_fast(sd, masks=masks, window=W,
+                                     window_policy="newest", **kw)
+        full = segment_session_fast(sd, masks=masks, window=None, **kw)
+        # telemetry: both windowed runs report the same overflow
+        assert raw.overflow_frames > 0
+        assert fixed.overflow_frames == raw.overflow_frames
+        assert raw.spans.shape == (16,) and raw.spans.max() > W
+        assert full.overflow_frames == 0  # unwindowed cannot overflow
+        # the repair: raw duplicates >> fixed, and fixed lands at or
+        # below the full merge (dedup also folds the full merge's own
+        # sub-radius cross-frame pairs)
+        assert raw.n > full.n * 1.2
+        assert fixed.n <= full.n * 1.02
+        # remapped uv2pt stays consistent with the compacted buffer
+        uv = np.asarray(fixed.uv2pt)
+        assert uv.max() < fixed.n
+        # classes come from the exact re-vote on the deduped cloud: the
+        # dominant room classes must survive
+        assert set(np.unique(fixed.classes)) <= set(np.unique(raw.classes)) | {20}
