@@ -196,7 +196,8 @@ def main(argv=None):
         "import-hf",
         help="convert a HuggingFace SegFormer checkpoint (mit-bX / "
              "segformer-bX-finetuned-*) to a snapshot our Segmenter2D "
-             "loads — encoder (+ compatible decoder projections) only",
+             "loads — encoder (+ compatible decoder projections) by "
+             "default, the FULL model with --with-head",
     )
     s.add_argument("checkpoint", help=".pth/.bin/.safetensors state dict")
     s.add_argument("out_npz")
@@ -207,6 +208,12 @@ def main(argv=None):
                    help="resolution the HF checkpoint was trained at "
                         "(recorded in the snapshot so loaders default to "
                         "it; HF segformer-finetuned models use 512)")
+    s.add_argument("--with-head", action="store_true",
+                   help="ALSO transplant the decode head (bias-free fuse "
+                        "+ BatchNorm + classifier): the snapshot predicts "
+                        "the checkpoint's own taxonomy with NO fine-tune "
+                        "(requires a SegformerForSemanticSegmentation "
+                        "checkpoint, not an encoder-only mit-bX)")
 
     s = sub.add_parser(
         "calibrate",
@@ -446,9 +453,12 @@ def main(argv=None):
         from fusion3dseg_tpu.pipeline.get2dseg import save_params_npz
 
         sd = load_hf_state_dict(args.checkpoint)
-        cfg = infer_config_from_state_dict(sd, num_classes=args.num_classes)
+        cfg = infer_config_from_state_dict(
+            sd, num_classes=args.num_classes, with_head=args.with_head)
         print(f"inferred encoder geometry: dims {cfg.embed_dims} depths "
-              f"{cfg.depths} sr {cfg.sr_ratios} decoder {cfg.decoder_dim}")
+              f"{cfg.depths} sr {cfg.sr_ratios} decoder {cfg.decoder_dim}"
+              + (f"; full head transplant, {cfg.num_classes} classes"
+                 if args.with_head else ""))
         model = SegFormer(cfg)
         # the non-imported head needs REAL initial values, so run a small
         # concrete init (param shapes are input-size independent)
@@ -456,11 +466,18 @@ def main(argv=None):
             model.init(jax.random.PRNGKey(args.seed),
                        jnp.zeros((1, 64, 64, 3)))["params"]
         )
-        params = params_from_hf_segformer(sd, cfg, params_template=concrete)
+        params = params_from_hf_segformer(
+            sd, cfg, params_template=concrete, include_head=args.with_head)
         save_params_npz(args.out_npz, params,
-                        input_hw=(args.input_size, args.input_size))
-        print(f"wrote {args.out_npz} — fine-tune the decoder with: "
-              "python -m fusion3dseg_tpu train --resume ...")
+                        input_hw=(args.input_size, args.input_size),
+                        config=cfg)
+        if args.with_head:
+            print(f"wrote {args.out_npz} — drop-in runnable: "
+                  "Segmenter2D(checkpoint_dir=...) rebuilds the recorded "
+                  "architecture (predicts the checkpoint's taxonomy)")
+        else:
+            print(f"wrote {args.out_npz} — fine-tune the decoder with: "
+                  "python -m fusion3dseg_tpu train --resume ...")
 
     elif args.cmd == "calibrate":
         import json as _json

@@ -8,9 +8,14 @@ SegFormer, so any HuggingFace `SegformerModel` / `SegformerFor*`
 checkpoint (e.g. nvidia/mit-b2, nvidia/segformer-b2-finetuned-ade) maps
 1:1 onto our encoder parameter tree. This module performs that mapping —
 giving a real path from publicly pretrained real-imagery encoders to our
-model family (fine-tune the decoder/classifier on the target taxonomy
-afterwards; the HF decode head is BatchNorm+ReLU and ours LayerNorm+GELU,
-so decoder fusion/classifier weights are NOT transplanted).
+model family. By default the decode head's fuse/classifier are NOT
+transplanted (the HF head is BatchNorm+ReLU and our native head
+LayerNorm+GELU — fine-tune on the target taxonomy afterwards);
+`include_head=True` with a config built via `with_head=True` selects the
+HF-compatible head variant (SegFormerConfig.head == "hf") and transplants
+the FULL SegformerForSemanticSegmentation, so the imported model predicts
+the checkpoint's own taxonomy with no fine-tune (full-logit equivalence
+vs torch pinned by tests/test_import_hf.py::TestFullModelEquivalence).
 
 Numerical caveats (fine for initialization, documented for exactness
 hunters): HF LayerNorm eps is 1e-5 vs flax's 1e-6, and HF uses exact-erf
@@ -51,13 +56,21 @@ def load_hf_state_dict(path) -> dict:
     return {k: _np(v) for k, v in sd.items()}
 
 
-def config_from_hf(hf_config, num_classes: int = 134, dtype=None):
+def config_from_hf(
+    hf_config, num_classes: int = 134, dtype=None, with_head: bool = False
+):
     """Build our SegFormerConfig mirroring an HF SegformerConfig's encoder
-    geometry (num_classes stays OURS — the classifier is not imported)."""
+    geometry. Default: num_classes stays OURS (the classifier is not
+    imported). `with_head=True` builds the full-transplant config instead:
+    head="hf" (bias-free fuse + frozen BatchNorm + ReLU) and the
+    CHECKPOINT's num_labels, so the imported model predicts the
+    checkpoint's own taxonomy with no fine-tune."""
     import jax.numpy as jnp
 
     from fusion3dseg_tpu.models import SegFormerConfig
 
+    if with_head:
+        num_classes = int(hf_config.num_labels)
     return SegFormerConfig(
         num_classes=num_classes,
         embed_dims=tuple(hf_config.hidden_sizes),
@@ -68,12 +81,13 @@ def config_from_hf(hf_config, num_classes: int = 134, dtype=None):
         decoder_dim=int(getattr(hf_config, "decoder_hidden_size", 256)),
         patch_strides=tuple(hf_config.strides),
         patch_sizes=tuple(hf_config.patch_sizes),
+        head="hf" if with_head else "native",
         dtype=dtype if dtype is not None else jnp.bfloat16,
     )
 
 
 def infer_config_from_state_dict(
-    state_dict, num_classes: int = 134, dtype=None
+    state_dict, num_classes: int = 134, dtype=None, with_head: bool = False
 ):
     """Derive our SegFormerConfig from the checkpoint tensors alone (a bare
     .pth has no config object). Geometry that is visible in weight shapes
@@ -111,6 +125,14 @@ def infer_config_from_state_dict(
     mlp_ratio = int(round(fc1.shape[0] / fc1.shape[1]))
     dec = sd.get("decode_head.linear_c.0.proj.weight")
     decoder_dim = int(_np(dec).shape[0]) if dec is not None else 256
+    if with_head:
+        cw = sd.get("decode_head.classifier.weight")
+        if cw is None:
+            raise KeyError(
+                "with_head=True but the checkpoint has no decode_head."
+                "classifier — encoder-only checkpoints cannot transplant "
+                "a head")
+        num_classes = int(_np(cw).shape[0])
     # canonical MiT head counts where they divide the stage width (true for
     # every released b0-b5); otherwise the largest divisor not above it
     heads = tuple(
@@ -123,6 +145,7 @@ def infer_config_from_state_dict(
         num_heads=heads, sr_ratios=tuple(srs),
         mlp_ratio=mlp_ratio, decoder_dim=decoder_dim,
         patch_sizes=tuple(sizes), patch_strides=(4, 2, 2, 2),
+        head="hf" if with_head else "native",
         dtype=dtype if dtype is not None else jnp.bfloat16,
     )
 
@@ -146,6 +169,7 @@ def params_from_hf_segformer(
     config,
     params_template: Optional[dict] = None,
     include_decoder_projections: bool = True,
+    include_head: bool = False,
     strict: bool = True,
 ) -> dict:
     """Map an HF SegFormer state_dict onto our parameter tree.
@@ -161,8 +185,14 @@ def params_from_hf_segformer(
         fuse/classifier/decoder LN — typically a fresh init). When None,
         only the imported subtrees are returned.
       include_decoder_projections: also transplant the decode head's
-        per-stage linear_c projections when present and shape-compatible
-        (the fuse conv + BatchNorm and classifier never transfer).
+        per-stage linear_c projections when present and shape-compatible.
+      include_head: ALSO transplant the rest of the decode head — the
+        bias-free linear_fuse 1x1 conv, the BatchNorm running stats +
+        affine, and the classifier. Requires config.head == "hf" (the
+        variant whose forward matches HF's BN+ReLU recipe; use
+        config_from_hf(..., with_head=True)) — the default "native" head
+        (LayerNorm+GELU, biased fuse) would silently mis-run BN stats, so
+        a mismatch raises.
       strict: raise KeyError on any missing encoder tensor; False skips
         missing blocks (useful for encoder-only "mit-bX" checkpoints,
         which ARE complete encoders — strict stays satisfiable there).
@@ -268,6 +298,39 @@ def params_from_hf_segformer(
             put(f"linear_c{s}/kernel", w)
             put(f"linear_c{s}/bias",
                 _vec(sd[f"decode_head.linear_c.{s}.proj.bias"]))
+
+    if include_head:
+        if getattr(config, "head", "native") != "hf":
+            raise ValueError(
+                "include_head=True needs config.head == 'hf' (the "
+                "BatchNorm+ReLU decode-head variant); the 'native' head's "
+                "forward would mis-run the imported BN statistics — use "
+                "config_from_hf(..., with_head=True)")
+        fw = get("decode_head.linear_fuse.weight")  # conv1x1 [out,in,1,1]
+        if fw is not None:
+            fw = _np(fw)
+            if fw.shape[0] != config.decoder_dim:
+                raise ValueError(
+                    f"decode head width mismatch: checkpoint linear_fuse "
+                    f"out {fw.shape[0]} vs config.decoder_dim "
+                    f"{config.decoder_dim}")
+            put("fuse/kernel", fw[:, :, 0, 0].T.astype(np.float32))
+        put("bn_scale", _vec(get("decode_head.batch_norm.weight")))
+        put("bn_bias", _vec(get("decode_head.batch_norm.bias")))
+        put("bn_mean", _vec(get("decode_head.batch_norm.running_mean")))
+        put("bn_var", _vec(get("decode_head.batch_norm.running_var")))
+        cw = get("decode_head.classifier.weight")  # conv1x1 [labels,in,1,1]
+        if cw is not None:
+            cw = _np(cw)
+            if cw.shape[0] != config.num_classes:
+                raise ValueError(
+                    f"classifier mismatch: checkpoint num_labels "
+                    f"{cw.shape[0]} vs config.num_classes "
+                    f"{config.num_classes} (with_head imports predict the "
+                    "checkpoint's own taxonomy)")
+            put("classifier/kernel", cw[:, :, 0, 0].T.astype(np.float32))
+            put("classifier/bias",
+                _vec(get("decode_head.classifier.bias")))
 
     if params_template is None:
         return out

@@ -50,6 +50,15 @@ class SegFormerConfig:
     decoder_dim: int = 256
     patch_strides: Tuple[int, ...] = (4, 2, 2, 2)
     patch_sizes: Tuple[int, ...] = (7, 3, 3, 3)
+    # decode-head variant: "native" = bias + LayerNorm + GELU (the TPU-
+    # friendly default every shipped checkpoint trains with); "hf" = the
+    # HF SegformerDecodeHead recipe — bias-free fuse + frozen BatchNorm
+    # (running stats held as ordinary params) + ReLU — so a full
+    # SegformerForSemanticSegmentation checkpoint transplants end-to-end
+    # (models/import_hf.py with include_head=True) and predicts with no
+    # fine-tune. Fine-tuning an "hf"-head model keeps the BN statistics
+    # frozen (they train as plain params under the optimizer).
+    head: str = "native"
     dtype: Any = jnp.bfloat16
     # Opt-in fused Pallas attention (ops/attention.py). Default off: XLA:TPU's
     # own attention fusion measured FASTER at every production shape we ship
@@ -309,8 +318,31 @@ class SegFormer(nn.Module):
                 )
             ups.append(f)
         x = jnp.concatenate(ups[::-1], axis=-1)
-        x = _dense(cfg.decoder_dim, cfg.dtype, "fuse", (HIDDEN, EMBED))(x)
-        x = nn.gelu(nn.LayerNorm(dtype=cfg.dtype)(x))
+        if cfg.head == "hf":
+            # HF SegformerDecodeHead parity (decode_head.linear_fuse +
+            # batch_norm + ReLU): 1x1 conv == dense over channels, no
+            # bias; BatchNorm runs on imported running stats, stored as
+            # ordinary params (inference-frozen — exactly eval()-mode
+            # torch, which is the only mode an imported head is used in)
+            x = nn.Dense(
+                cfg.decoder_dim, dtype=cfg.dtype, use_bias=False,
+                kernel_init=nn.with_partitioning(
+                    nn.initializers.xavier_uniform(), (HIDDEN, EMBED)
+                ),
+                name="fuse",
+            )(x)
+            shape = (cfg.decoder_dim,)
+            bn_s = self.param("bn_scale", nn.initializers.ones, shape)
+            bn_b = self.param("bn_bias", nn.initializers.zeros, shape)
+            bn_m = self.param("bn_mean", nn.initializers.zeros, shape)
+            bn_v = self.param("bn_var", nn.initializers.ones, shape)
+            x = (x.astype(jnp.float32) - bn_m) * (
+                bn_s * jax.lax.rsqrt(bn_v + 1e-5)
+            ) + bn_b
+            x = nn.relu(x).astype(cfg.dtype)
+        else:
+            x = _dense(cfg.decoder_dim, cfg.dtype, "fuse", (HIDDEN, EMBED))(x)
+            x = nn.gelu(nn.LayerNorm(dtype=cfg.dtype)(x))
         logits = nn.Dense(
             cfg.num_classes, dtype=jnp.float32,
             kernel_init=nn.with_partitioning(

@@ -137,3 +137,123 @@ class TestInferConfig:
         assert got.patch_sizes == cfg.patch_sizes
         assert got.mlp_ratio == cfg.mlp_ratio
         assert got.decoder_dim == cfg.decoder_dim
+
+    def test_with_head_reads_num_labels(self, hf_pair):
+        from fusion3dseg_tpu.models.import_hf import (
+            infer_config_from_state_dict,
+        )
+
+        hf_model, _, _, _, _ = hf_pair
+        got = infer_config_from_state_dict(
+            hf_model.state_dict(), with_head=True, dtype=jnp.float32)
+        assert got.head == "hf"
+        assert got.num_classes == 10  # the checkpoint's own num_labels
+
+
+class TestFullModelEquivalence:
+    """VERDICT r4 #3: --with-head transplants the WHOLE
+    SegformerForSemanticSegmentation (bias-free fuse + frozen BatchNorm +
+    ReLU + classifier) so a real-imagery checkpoint predicts with no
+    fine-tune. Equivalence is through final LOGITS at input resolution
+    (torch logits come out at stride 4 and are bilinearly upsampled with
+    the same align_corners=False convention jax.image.resize uses)."""
+
+    @pytest.fixture(scope="class")
+    def head_pair(self, hf_pair):
+        from fusion3dseg_tpu.models.import_hf import (
+            config_from_hf, params_from_hf_segformer,
+        )
+
+        hf_model, _, _, _, _ = hf_pair
+        # make BN stats non-trivial — random init's mean-0/var-1 would
+        # hide a stats-mapping bug entirely
+        torch.manual_seed(7)
+        with torch.no_grad():
+            hf_model.decode_head.batch_norm.running_mean.uniform_(-0.5, 0.5)
+            hf_model.decode_head.batch_norm.running_var.uniform_(0.5, 2.0)
+        cfg = config_from_hf(hf_model.config, dtype=jnp.float32,
+                             with_head=True)
+        model = SegFormer(cfg)
+        import flax.linen as nn
+
+        template = nn.meta.unbox(
+            model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 64, 64, 3)))["params"])
+        params = params_from_hf_segformer(
+            hf_model.state_dict(), cfg, params_template=template,
+            include_head=True)
+        return hf_model, model, cfg, params
+
+    def test_logits_match_torch(self, head_pair):
+        hf_model, model, cfg, params = head_pair
+        rng = np.random.default_rng(11)
+        x = rng.random((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            t = hf_model(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits
+            t = torch.nn.functional.interpolate(
+                t, size=(64, 64), mode="bilinear", align_corners=False
+            ).numpy()
+        ours = np.asarray(
+            model.apply({"params": params}, jnp.asarray(x))
+        ).transpose(0, 3, 1, 2)
+        err = np.abs(ours - t).max()
+        scale = np.abs(t).max()
+        # measured 6e-7 relative on this configuration; the loose bar
+        # absorbs erf-vs-tanh GELU and LN-eps drift at bigger widths
+        assert err < 0.02 * scale + 1e-3, (err, scale)
+        agree = (ours.argmax(1) == t.argmax(1)).mean()
+        assert agree >= 0.999, agree
+
+    def test_snapshot_drops_into_segmenter2d(self, head_pair, tmp_path):
+        """The import-hf --with-head product: an npz whose recorded
+        config (head='hf', checkpoint taxonomy) Segmenter2D rebuilds
+        without the caller passing any architecture — and whose masks
+        match the torch model's."""
+        from fusion3dseg_tpu.pipeline.get2dseg import (
+            Segmenter2D, checkpoint_config, save_params_npz,
+        )
+
+        hf_model, model, cfg, params = head_pair
+        p = tmp_path / "imported.npz"
+        save_params_npz(p, params, input_hw=(64, 64), config=cfg)
+        got = checkpoint_config(p)
+        assert got == cfg
+        seg = Segmenter2D(checkpoint_dir=p)  # NO config/input_hw passed
+        assert seg.config.head == "hf"
+        assert seg.config.num_classes == 10
+        assert seg.input_hw == (64, 64)
+        rng = np.random.default_rng(5)
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        sem = seg.predict_batch(img[None], conf_threshold=0.0)[0]
+        with torch.no_grad():
+            t = hf_model(torch.from_numpy(
+                (img.astype(np.float32) / 255.0)[None].transpose(0, 3, 1, 2)
+            )).logits
+            t = torch.nn.functional.interpolate(
+                t, size=(64, 64), mode="bilinear", align_corners=False)
+            t_sem = t.argmax(1)[0].numpy()
+        # fp16 snapshot quantization can flip near-ties; bulk must agree
+        assert (sem == t_sem).mean() > 0.98
+
+    def test_include_head_requires_hf_head_config(self, hf_pair):
+        from fusion3dseg_tpu.models.import_hf import (
+            config_from_hf, params_from_hf_segformer,
+        )
+
+        hf_model, _, _, _, _ = hf_pair
+        cfg = config_from_hf(hf_model.config, num_classes=10,
+                             dtype=jnp.float32)  # native head
+        with pytest.raises(ValueError, match="head"):
+            params_from_hf_segformer(
+                hf_model.state_dict(), cfg, include_head=True)
+
+    def test_with_head_on_encoder_only_checkpoint_raises(self, hf_pair):
+        from fusion3dseg_tpu.models.import_hf import (
+            infer_config_from_state_dict,
+        )
+
+        hf_model, _, _, _, _ = hf_pair
+        sd = {k: v for k, v in hf_model.state_dict().items()
+              if not k.startswith("decode_head.")}
+        with pytest.raises(KeyError, match="classifier"):
+            infer_config_from_state_dict(sd, with_head=True)
