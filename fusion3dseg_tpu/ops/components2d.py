@@ -23,12 +23,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def label_components_2d(classes: jax.Array) -> jax.Array:
+def label_components_2d(
+    classes: jax.Array,
+    guide: jax.Array | None = None,
+    guide_jump: float = 0.0,
+) -> jax.Array:
     """Connected components of an integer class image.
 
     Args:
       classes: [H, W] integer class ids (any non-negative values; pixels
         join a component only across equal-class 4-neighbor edges).
+      guide: optional [H, W] or [H, W, C] float discontinuity channel
+        (depth, color, ...). When given, an equal-class edge additionally
+        requires max_c |guide[p] - guide[q]| <= guide_jump — so two
+        TOUCHING same-class objects separated by a depth step or a color
+        boundary stop fusing into one segment (VERDICT r4 #8; the
+        reference gets this separation from OneFormer's instance branch,
+        get2DSeg.py:60-78). For a RELATIVE depth gate pass log-depth with
+        guide_jump = log(1 + rel).
+      guide_jump: max allowed per-channel |difference| across an edge.
 
     Returns:
       [H, W] int32 labels — the min flat pixel index of each component
@@ -42,6 +55,11 @@ def label_components_2d(classes: jax.Array) -> jax.Array:
     # pad classes once with -1 (never equal to a non-negative class)
     cpad = jnp.pad(classes, 1, constant_values=-1)
     shifts = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    if guide is not None:
+        g = guide.astype(jnp.float32)
+        if g.ndim == 2:
+            g = g[..., None]
+        gpad = jnp.pad(g, ((1, 1), (1, 1), (0, 0)))
 
     def body(state):
         lbl, _ = state
@@ -50,7 +68,15 @@ def label_components_2d(classes: jax.Array) -> jax.Array:
         for dy, dx in shifts:
             ncls = jax.lax.dynamic_slice(cpad, (1 + dy, 1 + dx), (H, W))
             nlbl = jax.lax.dynamic_slice(lpad, (1 + dy, 1 + dx), (H, W))
-            best = jnp.minimum(best, jnp.where(ncls == classes, nlbl, sent))
+            edge = ncls == classes
+            if guide is not None:
+                ng = jax.lax.dynamic_slice(
+                    gpad, (1 + dy, 1 + dx, 0), (H, W, gpad.shape[2])
+                )
+                edge = edge & (
+                    jnp.max(jnp.abs(ng - g), axis=-1) <= guide_jump
+                )
+            best = jnp.minimum(best, jnp.where(edge, nlbl, sent))
         flat = best.ravel()
         # pointer jumping: flat[p] is a pixel in p's component (labels only
         # ever propagate across same-class edges), so chasing it twice
@@ -64,10 +90,19 @@ def label_components_2d(classes: jax.Array) -> jax.Array:
     return lbl
 
 
-def label_components_2d_batch(classes: jax.Array) -> jax.Array:
+def label_components_2d_batch(
+    classes: jax.Array,
+    guide: jax.Array | None = None,
+    guide_jump: float = 0.0,
+) -> jax.Array:
     """[B, H, W] batched variant (vmapped while_loop: iterates until the
-    slowest image converges; extra iterations are idempotent)."""
-    return jax.vmap(label_components_2d)(classes)
+    slowest image converges; extra iterations are idempotent). `guide` is
+    [B, H, W] / [B, H, W, C] — see label_components_2d."""
+    if guide is None:
+        return jax.vmap(label_components_2d)(classes)
+    return jax.vmap(
+        lambda c, g: label_components_2d(c, g, guide_jump)
+    )(classes, guide)
 
 
 def panoptic_from_semantic(

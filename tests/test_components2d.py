@@ -205,3 +205,73 @@ class TestCalibrate:
         best = pick_threshold(rows, max_unclassified=1.0)
         assert best["agreement_mean"] == max(r["agreement_mean"] for r in rows)
         pick_threshold(rows, max_unclassified=0.0)
+
+
+class TestGuideGatedSplit:
+    """VERDICT r4 #8: touching same-class objects must separate across a
+    depth/color discontinuity — the reference gets this from OneFormer's
+    instance branch (get2DSeg.py:60-78); we gate component edges on an
+    optional guide channel."""
+
+    def test_two_adjacent_boxes_split_by_depth(self):
+        from fusion3dseg_tpu.ops.components2d import label_components_2d
+
+        sem = np.zeros((12, 16), np.int32)
+        sem[2:10, 2:8] = 56   # chair A
+        sem[2:10, 8:14] = 56  # chair B, touching A at column 8
+        depth = np.ones((12, 16), np.float32)
+        depth[2:10, 8:14] = 2.0  # B is a meter behind A
+        plain = np.asarray(label_components_2d(jnp.asarray(sem)))
+        gated = np.asarray(label_components_2d(
+            jnp.asarray(sem), jnp.asarray(depth), 0.5))
+        chairs = sem == 56
+        assert len(np.unique(plain[chairs])) == 1  # they fuse without a guide
+        assert len(np.unique(gated[chairs])) == 2  # and split with one
+        # the split follows the discontinuity exactly
+        left, right = chairs & (depth == 1.0), chairs & (depth == 2.0)
+        assert len(np.unique(gated[left])) == 1
+        assert len(np.unique(gated[right])) == 1
+        # background unaffected
+        np.testing.assert_array_equal(plain[~chairs], gated[~chairs])
+
+    def test_instance_count_matches_gt_through_panoptic(self):
+        from fusion3dseg_tpu.ops.components2d import (
+            instances_from_panoptic, label_components_2d,
+            panoptic_from_semantic,
+        )
+
+        sem = np.zeros((12, 16), np.int32)
+        sem[:] = 109          # stuff background
+        sem[2:10, 2:8] = 56
+        sem[2:10, 8:14] = 56
+        color = np.zeros((12, 16, 3), np.float32)
+        color[2:10, 2:8] = [0.8, 0.1, 0.1]   # red chair
+        color[2:10, 8:14] = [0.1, 0.1, 0.8]  # blue chair
+        for jump, want in ((None, 1), (0.3, 2)):
+            comp = np.asarray(label_components_2d(
+                jnp.asarray(sem),
+                None if jump is None else jnp.asarray(color),
+                0.0 if jump is None else jump))
+            idimage, info = panoptic_from_semantic(
+                sem, n_thing=80, unclassified=133, components=comp)
+            inst = instances_from_panoptic(idimage, info)
+            assert len(inst["pred_classes"]) == want, (jump, info)
+
+    def test_predict_accepts_split_color_jump(self):
+        from fusion3dseg_tpu.models import SegFormerConfig
+        from fusion3dseg_tpu.pipeline.get2dseg import Segmenter2D
+
+        tiny = SegFormerConfig(
+            num_classes=134, embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+            num_heads=(1, 2, 3, 4), decoder_dim=32, dtype=jnp.float32,
+        )
+        seg = Segmenter2D(config=tiny, input_hw=(64, 64))
+        img = (np.random.default_rng(2).random((40, 48, 3)) * 255).astype(
+            np.uint8)
+        base = seg.predict(img, conf_threshold=0.0)
+        gated = seg.predict(img, conf_threshold=0.0, split_color_jump=0.15)
+        # same contract, same semantics; gating can only REFINE segments
+        assert gated["sem_seg"].shape == base["sem_seg"].shape
+        np.testing.assert_array_equal(
+            gated["sem_seg"].argmax(0), base["sem_seg"].argmax(0))
+        assert len(gated["panoptic_seg"][1]) >= len(base["panoptic_seg"][1])
