@@ -553,6 +553,33 @@ def fusion_and_e2e(args, result):
     log(f"fusion engine: {vga_fps:.1f} frames/s (VGA 640x480, cap 256k)")
     result["fusion_engine_vga_frames_per_sec"] = round(vga_fps, 1)
 
+    # reference-capture resolution (VERDICT r4 #4): the reference's own
+    # calibration is 720x960 portrait RGB (RTAB_utils/calibration.yaml:
+    # image_width 720, image_height 960) — the scale a real capture runs
+    # at. 8 frames bounds the H2D staging (~155 MB at ~27 MB/s); fps is
+    # resolution-bound, not session-bound.
+    rsess = synthetic.make_session(nframes=8, depth_hw=(960, 720))
+    rsd = rtab.SessionData.from_arrays(
+        rsess.colors, rsess.depth, rsess.K,
+        rsess.quats_wxyz[:, [1, 2, 3, 0]], rsess.translations,
+    )
+    rvalid = (rsd.depth > 0.1) & (rsd.depth <= 8.0)
+    rargs = tuple(jnp.asarray(x) for x in (
+        rsd.Ks.astype(np.float32), rsd.quats_wxyz, rsd.translations,
+        rsd.points, rsd.normals, rsd.colors, rvalid))
+    rkw = dict(height=960, width=720, radius=0.05,
+               min_cosine=float(np.cos(np.deg2rad(10.0))), max_depth=8.0,
+               capacity=1 << 18, window=1 << 14)
+    state, _ = fusion_engine.fuse_session(*rargs, **rkw)
+    int(np.asarray(state.n))
+    t0 = time.perf_counter()
+    state, _ = fusion_engine.fuse_session(*rargs, **rkw)
+    int(np.asarray(state.n))
+    ref_fps = 8 / (time.perf_counter() - t0)
+    log(f"fusion engine: {ref_fps:.1f} frames/s (reference-calibration "
+        f"720x960 portrait, cap 256k)")
+    result["fusion_engine_ref_res_frames_per_sec"] = round(ref_fps, 1)
+
     # loop-closure revisit stat (r4, VERDICT r3 #4): duplicate growth when
     # the orbit revisits its start (turns=2) under window overflow. Shapes/
     # statics match the 128k block so the compiled programs are reused.
@@ -567,23 +594,55 @@ def fusion_and_e2e(args, result):
         lsd.points, lsd.normals, lsd.colors, lvalid))
     st_full, _ = fusion_engine.fuse_session(*largs, **dict(fkw, window=None))
     n_lfull = int(np.asarray(st_full.n))
-    st_n, _ = fusion_engine.fuse_session(*largs, **fkw)
-    st_s, _ = fusion_engine.fuse_session(*largs, **fkw_split)
-    n_n, n_s = int(np.asarray(st_n.n)), int(np.asarray(st_s.n))
+    st_n, _, spans_n = fusion_engine.fuse_session(
+        *largs, with_stats=True, **fkw
+    )
+    st_s, _, spans_s = fusion_engine.fuse_session(
+        *largs, with_stats=True, **fkw_split
+    )
+    n_n_raw, n_s_raw = int(np.asarray(st_n.n)), int(np.asarray(st_s.n))
+    # the engine-emitted overflow telemetry (VERDICT r4 #2): frames whose
+    # visible span exceeded the window — the signal the drivers key the
+    # auto-dedup repair on
+    ovf_n = int((np.asarray(spans_n) > awin128).sum())
+    ovf_s = int((np.asarray(spans_s) > awin128).sum())
+    # default knobs = the driver path: overflow triggers the post-scan
+    # dedup repair (Fusion.auto_dedup / segment_session_fast auto_dedup)
+    mcos = float(np.cos(np.deg2rad(10.0)))
+    st_n_d, _ = fusion_engine.dedup_state(st_n, 0.05, mcos, capacity=fcap)
+    st_s_d, _ = fusion_engine.dedup_state(st_s, 0.05, mcos, capacity=fcap)
+    n_n, n_s = int(np.asarray(st_n_d.n)), int(np.asarray(st_s_d.n))
     dup_n = (n_n - n_lfull) / n_lfull
     dup_s = (n_s - n_lfull) / n_lfull
+    # normalized comparison: dedup folds the full merge's own sub-radius
+    # cross-frame pairs too, so the apples-to-apples duplicate measure is
+    # vs the full merge under the SAME voxel collapse
+    st_f_d, _ = fusion_engine.dedup_state(st_full, 0.05, mcos, capacity=fcap)
+    n_fd = int(np.asarray(st_f_d.n))
+    dup_s_norm = (n_s - n_fd) / n_fd
     # a run that fills the buffer drop-routes further appends, silently
     # CLAMPING its duplicate fraction — flag it so the policy comparison
     # is never read off a capacity artifact (review finding r4)
-    sat = {"newest": n_n >= fcap, "split": n_s >= fcap,
+    sat = {"newest": n_n_raw >= fcap, "split": n_s_raw >= fcap,
            "full": n_lfull >= fcap}
-    log(f"loop-closure (turns=2, window {awin128}): duplicates "
-        f"newest {dup_n:+.3%} vs split {dup_s:+.3%} (full merge {n_lfull} pts"
+    log(f"loop-closure (turns=2, window {awin128}): overflow frames "
+        f"newest {ovf_n} / split {ovf_s}; duplicates after auto-dedup "
+        f"newest {dup_n:+.3%} vs split {dup_s:+.3%} vs full merge "
+        f"{n_lfull} pts (raw, pre-repair: newest "
+        f"{(n_n_raw - n_lfull) / n_lfull:+.3%}, split "
+        f"{(n_s_raw - n_lfull) / n_lfull:+.3%}; dedup-normalized split "
+        f"{dup_s_norm:+.3%} vs {n_fd})"
         + (f"; SATURATED at cap {fcap}: "
            + ",".join(k for k, v in sat.items() if v) if any(sat.values())
-           else "") + ")")
+           else ""))
+    result["loopclosure_overflow_frames"] = ovf_s
     result["loopclosure_dup_frac_newest"] = round(dup_n, 4)
     result["loopclosure_dup_frac_split"] = round(dup_s, 4)
+    result["loopclosure_dup_frac_newest_raw"] = round(
+        (n_n_raw - n_lfull) / n_lfull, 4)
+    result["loopclosure_dup_frac_split_raw"] = round(
+        (n_s_raw - n_lfull) / n_lfull, 4)
+    result["loopclosure_dup_frac_split_dedup_norm"] = round(dup_s_norm, 4)
     if any(sat.values()):
         result["loopclosure_saturated"] = [k for k, v in sat.items() if v]
 
@@ -619,7 +678,7 @@ def fusion_and_e2e(args, result):
         res = segment_session_fast(
             sd_dev, masks=fmasks_dev, radius=fkw["radius"], angle=10.0,
             valid=fargs[6], max_depth=fkw["max_depth"], capacity=fkw["capacity"],
-            window=fkw["window"], window_policy="newest",
+            window=fkw["window"],  # window_policy: the "split" default
             nclasses=args.nclasses, threshold=0.5, min_pts_per_inst=100,
             outdir=outdir,
         )

@@ -41,6 +41,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -72,6 +73,7 @@ def fuse_session_sharded(
     capacity: int,  # PER-DEVICE chunk capacity
     candidate_px: int = 1,
     axis: str = "dp",
+    halo_frames: int = 2,
 ) -> Tuple[FusionState, jax.Array]:
     """Fuse a session with the frame axis sharded over `axis`.
 
@@ -80,28 +82,72 @@ def fuse_session_sharded(
     empty slots). Returns (merged FusionState, uv2pt [F, H*W] int32 indexing
     the MERGED cloud). Caller contract: each chunk's first frame has at
     least one valid point (chunks seed independently).
+
+    `halo_frames` (static, VERDICT r4 #6): before scanning its own frames,
+    each chunk WARM-STARTS its buffer by fusing the previous chunk's last K
+    frames (an all-gather-free halo: the halo inputs are sliced host-side
+    and sharded like the chunk frames). The chunk's early frames then merge
+    into the same cluster centers the sequential scan would have used
+    instead of creating offset near-duplicates at the chunk boundary.
+    Halo uv2pt rows are discarded (each frame's lookup comes from exactly
+    one chunk) and halo-created points stay in the merge: they duplicate
+    the tail geometry of the previous chunk at near-identical positions,
+    so the reconcile merge folds them into the same voxel cells (their
+    weight slightly favors the boundary region's mean — bounded by the
+    voxel diagonal like every other reconcile deviation). 0 restores
+    independent chunks.
+
+    Measured bound (8-device dryrun session, 2-frame chunks — the most
+    hostile decomposition): halo 0/1/2 -> label agreement 0.991/0.995/
+    0.993, p99 coverage 0.072/0.071/0.064 m at radius 0.12. The residual
+    p99 is NOT boundary duplication (halos cannot remove it): both clouds
+    are weighted cluster means over different partitions of the same
+    pixels, so positions differ by O(radius/2) wherever partitions
+    differ. Exact parity (agreement 1.000, coverage 0.000) is what
+    fuse_session_spatial_sharded provides — prefer it when exactness
+    matters; this decomposition trades statistical parity for a
+    zero-communication scan.
     """
     ndev = mesh.shape[axis]
     F = quats_wxyz.shape[0]
     assert F % ndev == 0, f"frames {F} % {ndev} devices != 0"
+    Fd = F // ndev
+    K = int(halo_frames)
 
     kw = dict(height=height, width=width, radius=radius,
               min_cosine=min_cosine, max_depth=max_depth, capacity=capacity)
 
+    if K > 0:
+        # halo inputs: device d gets frames [d*Fd - K, d*Fd) of the
+        # session; device 0 gets frame 0 repeated with valid=False (a
+        # no-op fuse step — shard_map branches cannot differ per device)
+        hidx = np.clip(
+            (np.arange(ndev)[:, None] * Fd - K) + np.arange(K)[None, :], 0,
+            F - 1,
+        ).reshape(-1)
+        hvalid_mask = np.repeat(np.arange(ndev) > 0, K)[:, None]
+        hq, ht = quats_wxyz[hidx], translations[hidx]
+        hp, hn, hc = points[hidx], normals[hidx], colors[hidx]
+        hv = jnp.asarray(valid)[hidx] & jnp.asarray(hvalid_mask)
+
     def chunk(K_l, q, t, fp, fn, fc, fv):
+        # every frame — halo and own — goes through the SAME _fuse_frame
+        # step (no explicit seed: on an empty buffer the step's leftover
+        # path voxel-sparsifies and appends the whole frame, which is the
+        # seed semantics), so the warm start is just a longer scan whose
+        # first K uv2pt rows are dropped.
         state = _empty_state(capacity)
-        state, uv0 = _seed_frame(state, fp[0], fn[0], fc[0], fv[0], **kw)
 
         def step(st, frame):
             qq, tt, p, n, c, v = frame
-            st, uv = _fuse_frame(st, qq, tt, p, n, c, v, Ks=K_l,
-                                 candidate_px=candidate_px, **kw)
+            st, uv, _span = _fuse_frame(st, qq, tt, p, n, c, v, Ks=K_l,
+                                        candidate_px=candidate_px, **kw)
             return st, uv
 
-        state, uv_rest = jax.lax.scan(
-            step, state, (q[1:], t[1:], fp[1:], fn[1:], fc[1:], fv[1:])
+        state, uv2pt = jax.lax.scan(
+            step, state, (q, t, fp, fn, fc, fv)
         )
-        uv2pt = jnp.concatenate([uv0[None], uv_rest], axis=0)
+        uv2pt = uv2pt[K:] if K else uv2pt  # halo rows are not emitted
         # globalize local slots so chunk buffers can concatenate
         rank = jax.lax.axis_index(axis)
         uv2pt = jnp.where(uv2pt >= 0, uv2pt + rank * capacity, -1)
@@ -113,6 +159,22 @@ def fuse_session_sharded(
         return (state.points, state.normals, state.colors, state.nmerges,
                 state.occurences, n_arr, live, uv2pt)
 
+    def cat(h, x):
+        # interleave per-device halo blocks ahead of each chunk: rows
+        # [d*(K+Fd), (d+1)*(K+Fd)) = halo_d ++ chunk_d, so the P(axis)
+        # shard boundary lands exactly between devices
+        h = jnp.reshape(h, (ndev, K) + h.shape[1:])
+        x = jnp.reshape(jnp.asarray(x), (ndev, Fd) + x.shape[1:])
+        return jnp.concatenate([h, x], axis=1).reshape(
+            (ndev * (K + Fd),) + x.shape[2:]
+        )
+
+    if K > 0:
+        args = (cat(hq, quats_wxyz), cat(ht, translations), cat(hp, points),
+                cat(hn, normals), cat(hc, colors), cat(hv, valid))
+    else:
+        args = (quats_wxyz, translations, points, normals, colors, valid)
+
     out = shard_map(
         chunk,
         mesh=mesh,
@@ -120,7 +182,7 @@ def fuse_session_sharded(
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                    P(axis), P(axis)),
         check_vma=False,
-    )(Ks, quats_wxyz, translations, points, normals, colors, valid)
+    )(Ks, *args)
     bpts, bnrm, bclr, bnm, bocc, _, blive, uv2pt = out
 
     # ONE cross-chunk weighted voxel merge (replicated compute; the combined
