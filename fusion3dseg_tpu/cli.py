@@ -182,6 +182,11 @@ def main(argv=None):
                         "synthetic session, e.g. '96x72,128x96,192x144' — "
                         "multi-sharpness training (frames are resized to "
                         "--input-size for the model)")
+    s.add_argument("--device-datagen", action="store_true",
+                   help="generate batches ON DEVICE (raycast + shade + "
+                        "augment as jitted programs; textured regime) — "
+                        "removes the host raycast and the per-batch tunnel "
+                        "upload from the step loop")
     s.add_argument("--resume", action="store_true",
                    help="resume params/opt-state/step from --checkpoint-dir")
     s.add_argument("--init-npz", default=None,
@@ -404,6 +409,7 @@ def main(argv=None):
             ema_decay=args.ema_decay,
             prefetch=args.prefetch,
             render_hws=args.render_hws,
+            device_datagen=args.device_datagen,
             resume=args.resume, init_params_npz=args.init_npz,
         )
         ds = None

@@ -224,52 +224,17 @@ def _class_color(cls: int) -> np.ndarray:
     return _CLASS_COLOR_CACHE[cls]
 
 
-def make_session(
-    nframes: int = 10,
-    depth_hw: Tuple[int, int] = (256, 192),
-    room: Optional[RoomSpec] = None,
-    max_depth: float = 10.0,
-    noise: float = 0.0,
-    appearance: str = "flat",
-    turns: float = 1.0,
-    upright: bool = False,
-) -> SyntheticSession:
-    """Generate a session: circular trajectory inside the room, cameras
-    looking outward, depth + ground-truth class mask per frame. `turns`
-    laps the circle that many times (> 1 produces repeated loop closures —
-    the long-session soak's windowing stress case).
-
-    appearance:
-      * "flat" — one fixed color per class across ALL sessions (fast; fine
-        for geometry/fusion work, but a 2D model trained on it partly
-        reduces to a color lookup — ROADMAP #11).
-      * "textured" — per-SESSION random palette (a class's color is not
-        stable across sessions), procedural sine-field textures per class,
-        per-instance tint jitter, one directional light with Lambertian
-        shading off the true surface normals, and lens vignetting. A model
-        trained across many textured sessions cannot bind color->class and
-        must use spatial context.
-    """
-    room = room or RoomSpec()
-    rng = np.random.default_rng(room.seed)
-    H, W = depth_hw
+def session_boxes(
+    room: RoomSpec, rng: Optional[np.random.Generator] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The room's object boxes + classes — the GEOMETRY half of
+    make_session, extracted so the on-device generator
+    (io/synthetic_device.py) shares the exact layout code. Pass
+    make_session's own rng to consume the same stream prefix it always
+    did (keeping every downstream draw bit-identical); None draws a
+    fresh generator from room.seed — the identical values."""
+    rng = rng if rng is not None else np.random.default_rng(room.seed)
     sx, sy, sz = room.size
-    room_box = np.array([0.0, 0.0, 0.0, sx, sy, sz])
-
-    # objects: class-conditional shape priors along the walls (never blocking
-    # the center). With textured appearance the palette is random per
-    # session, so GEOMETRY is the only session-stable class cue — each class
-    # gets a characteristic placement/size so a 2D model can identify it
-    # from spatial context (doors reach the floor, windows sit at sill
-    # height, TVs hang high and thin, couches are long and low, keyboards
-    # are tiny floor slabs):
-    #   86 door-stuff     flush wall panel, floor..~2.0 m
-    #   114 window-blind  flush wall panel, wide+short, sill ~1 m
-    #   115 window-other  flush wall panel, square-ish, sill ~1 m
-    #   62 tv             thin wall panel, mounted 1.4-1.7 m
-    #   57 couch          floor box against the wall, long x low
-    #   66 keyboard       small flat slab on the floor
-    # Other class ids fall back to the generic floor box.
     boxes, bclasses = [], []
     th = 0.06  # wall-panel protrusion into the room
     for i in range(room.num_objects):
@@ -324,7 +289,104 @@ def make_session(
         boxes.append([x0, y0, z0, x1, min(y1, sy), z1])
         bclasses.append(cls)
     boxes = np.asarray(boxes) if boxes else np.zeros((0, 6))
-    bclasses = np.asarray(bclasses, np.uint8)
+    return boxes, np.asarray(bclasses, np.uint8)
+
+
+def session_appearance(room: RoomSpec, nboxes: int) -> dict:
+    """The per-session "textured" appearance tables — extracted from
+    make_session so the on-device generator shades with the exact same
+    sampled values (small arrays, shipped to device once per session)."""
+    app = np.random.default_rng(room.seed + 7777)
+    out = {}
+    out["base_color"] = app.uniform(0.15, 0.95, (256, 3)).astype(np.float32)
+    out["tex_k1"] = (app.uniform(2.0, 10.0, (256, 3))
+                     * app.choice([-1.0, 1.0], (256, 3))).astype(np.float32)
+    out["tex_p1"] = app.uniform(0, 2 * np.pi, 256).astype(np.float32)
+    out["tex_k2"] = (app.uniform(12.0, 35.0, (256, 3))
+                     * app.choice([-1.0, 1.0], (256, 3))).astype(np.float32)
+    out["tex_p2"] = app.uniform(0, 2 * np.pi, 256).astype(np.float32)
+    out["tex_amp"] = app.uniform(0.10, 0.35, 256).astype(np.float32)
+    # per-box-instance tint (row B = room surfaces: no jitter)
+    out["inst_tint"] = np.vstack(
+        [app.uniform(-0.10, 0.10, (max(nboxes, 1), 3)), np.zeros((1, 3))]
+    ).astype(np.float32)
+    lite = app.uniform(-1, 1, 3)
+    lite[1] = app.uniform(0.5, 1.0)  # light from above
+    out["lite"] = (lite / np.linalg.norm(lite)).astype(np.float32)
+    out["ambient"] = np.float32(app.uniform(0.35, 0.55))
+    return out
+
+
+def session_poses(
+    room: RoomSpec, nframes: int, turns: float = 1.0, upright: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Circular outward-looking trajectory: (eyes [F,3] f64, Rs [F,3,3]
+    f64, quats_wxyz [F,4]) — make_session's pose loop, shared with the
+    on-device generator."""
+    sx, sy, sz = room.size
+    center = np.array([sx / 2, sy * 0.55, sz / 2])
+    r_traj = 0.25 * min(sx, sz)
+    eyes = np.zeros((nframes, 3))
+    Rs = np.zeros((nframes, 3, 3))
+    quats = np.zeros((nframes, 4))
+    for fidx in range(nframes):
+        ang = 2 * np.pi * turns * fidx / max(nframes, 1)
+        eyes[fidx] = center + r_traj * np.array([np.cos(ang), 0.0, np.sin(ang)])
+        fwd = np.array([np.cos(ang), -0.1, np.sin(ang)])  # outward, slightly down
+        Rs[fidx] = _look_rotation(fwd, upright=upright)
+        quats[fidx] = _mat_to_quat_wxyz(Rs[fidx])
+    return eyes, Rs, quats
+
+
+def make_session(
+    nframes: int = 10,
+    depth_hw: Tuple[int, int] = (256, 192),
+    room: Optional[RoomSpec] = None,
+    max_depth: float = 10.0,
+    noise: float = 0.0,
+    appearance: str = "flat",
+    turns: float = 1.0,
+    upright: bool = False,
+) -> SyntheticSession:
+    """Generate a session: circular trajectory inside the room, cameras
+    looking outward, depth + ground-truth class mask per frame. `turns`
+    laps the circle that many times (> 1 produces repeated loop closures —
+    the long-session soak's windowing stress case).
+
+    appearance:
+      * "flat" — one fixed color per class across ALL sessions (fast; fine
+        for geometry/fusion work, but a 2D model trained on it partly
+        reduces to a color lookup — ROADMAP #11).
+      * "textured" — per-SESSION random palette (a class's color is not
+        stable across sessions), procedural sine-field textures per class,
+        per-instance tint jitter, one directional light with Lambertian
+        shading off the true surface normals, and lens vignetting. A model
+        trained across many textured sessions cannot bind color->class and
+        must use spatial context.
+    """
+    room = room or RoomSpec()
+    rng = np.random.default_rng(room.seed)
+    H, W = depth_hw
+    sx, sy, sz = room.size
+    room_box = np.array([0.0, 0.0, 0.0, sx, sy, sz])
+
+    # objects: class-conditional shape priors along the walls (never blocking
+    # the center). With textured appearance the palette is random per
+    # session, so GEOMETRY is the only session-stable class cue — each class
+    # gets a characteristic placement/size so a 2D model can identify it
+    # from spatial context (doors reach the floor, windows sit at sill
+    # height, TVs hang high and thin, couches are long and low, keyboards
+    # are tiny floor slabs):
+    #   86 door-stuff     flush wall panel, floor..~2.0 m
+    #   114 window-blind  flush wall panel, wide+short, sill ~1 m
+    #   115 window-other  flush wall panel, square-ish, sill ~1 m
+    #   62 tv             thin wall panel, mounted 1.4-1.7 m
+    #   57 couch          floor box against the wall, long x low
+    #   66 keyboard       small flat slab on the floor
+    # Other class ids fall back to the generic floor box.
+    # (layout extracted to session_boxes — shared with the on-device
+    # generator; passing `rng` keeps this function's stream identical)
+    boxes, bclasses = session_boxes(room, rng)
 
     f = 0.6 * W
     K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
@@ -337,30 +399,16 @@ def make_session(
         [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u)], -1
     ).reshape(-1, 3).astype(np.float32)
 
-    center = np.array([sx / 2, sy * 0.55, sz / 2])
-    r_traj = 0.25 * min(sx, sz)
-
     if appearance == "textured":
         # per-session appearance, seeded independently of geometry draws
-        app = np.random.default_rng(room.seed + 7777)
-        # f32 constants: the per-frame shading below then stays f32 (the
-        # draws themselves remain f64 so the sampled VALUES are unchanged)
-        base_color = app.uniform(0.15, 0.95, (256, 3)).astype(np.float32)
-        tex_k1 = (app.uniform(2.0, 10.0, (256, 3))
-                  * app.choice([-1.0, 1.0], (256, 3))).astype(np.float32)
-        tex_p1 = app.uniform(0, 2 * np.pi, 256).astype(np.float32)
-        tex_k2 = (app.uniform(12.0, 35.0, (256, 3))
-                  * app.choice([-1.0, 1.0], (256, 3))).astype(np.float32)
-        tex_p2 = app.uniform(0, 2 * np.pi, 256).astype(np.float32)
-        tex_amp = app.uniform(0.10, 0.35, 256).astype(np.float32)
-        # per-box-instance tint (row B = room surfaces: no jitter)
-        inst_tint = np.vstack(
-            [app.uniform(-0.10, 0.10, (max(len(boxes), 1), 3)), np.zeros((1, 3))]
-        ).astype(np.float32)
-        lite = app.uniform(-1, 1, 3)
-        lite[1] = app.uniform(0.5, 1.0)  # light from above
-        lite = (lite / np.linalg.norm(lite)).astype(np.float32)
-        ambient = np.float32(app.uniform(0.35, 0.55))
+        # (tables extracted to session_appearance — shared with the
+        # on-device generator; f32 constants keep the per-frame shading
+        # f32 while the draws stay f64 so sampled VALUES are unchanged)
+        ap = session_appearance(room, len(boxes))
+        base_color, tex_amp = ap["base_color"], ap["tex_amp"]
+        tex_k1, tex_p1 = ap["tex_k1"], ap["tex_p1"]
+        tex_k2, tex_p2 = ap["tex_k2"], ap["tex_p2"]
+        inst_tint, lite, ambient = ap["inst_tint"], ap["lite"], ap["ambient"]
         r2 = (((u - K[0, 2]) / K[0, 2]) ** 2 + ((v - K[1, 2]) / K[1, 2]) ** 2).reshape(-1)
         vignette = (1.0 - 0.25 * r2 / r2.max()).astype(np.float32)
     elif appearance != "flat":
@@ -372,12 +420,9 @@ def make_session(
     quats = np.zeros((nframes, 4))
     trans = np.zeros((nframes, 3))
 
+    eyes, Rs, quats_all = session_poses(room, nframes, turns, upright)
     for fidx in range(nframes):
-        ang = 2 * np.pi * turns * fidx / max(nframes, 1)
-        eye = center + r_traj * np.array([np.cos(ang), 0.0, np.sin(ang)])
-        fwd = np.array([np.cos(ang), -0.1, np.sin(ang)])  # look outward, slightly down
-        R = _look_rotation(fwd, upright=upright)
-        q = _mat_to_quat_wxyz(R)
+        eye, R, q = eyes[fidx], Rs[fidx], quats_all[fidx]
         # world-frame ray directions (unit z-depth scaled), f32 throughout
         dirs = rays_cam @ R.T.astype(np.float32)
 

@@ -64,6 +64,14 @@ class TrainConfig:
     # with the step's host->device upload (~60-100 ms of socket writes that
     # release the GIL under the tunnel) — the producer thread overlaps them
     prefetch: int = 2
+    # generate batches ON DEVICE (io/synthetic_device.py, VERDICT r4 #7):
+    # raycast + shade + resize + augment run as device programs, so the
+    # host raycast (~190 ms/batch on this single core) and the ~1.6 MB/
+    # batch tunnel upload both disappear — only per-session KB-scale
+    # tables transfer. Implies appearance="textured" (the production
+    # regime); augmentation is statistically equivalent to the host path
+    # (jax.random vs numpy streams). The host path stays the oracle.
+    device_datagen: bool = False
 
 
 def make_optimizer(config: TrainConfig):
@@ -535,30 +543,44 @@ def train(
         # one jitted copy program: `ema = params` would alias the donated
         # params buffer; eager per-leaf copies cost a dispatch per leaf
         ema = shardings["ema_init"](params)
+    device_gen = dataset is None and config.device_datagen
     if dataset is None:
-        dataset = synthetic_dataset(
-            config.input_hw, config.batch_size, config.seed + start,
-            appearance=config.appearance, upright=config.upright,
-            render_hws=config.render_hws,
-        )
-    aug_rng = np.random.default_rng(config.seed + 7 + start)
+        if config.device_datagen:
+            from fusion3dseg_tpu.io.synthetic_device import device_dataset
 
-    def _augmented():
-        # augmentation runs in the producer thread too — it is host numpy
-        # work that should overlap the consumer's upload, and the single
-        # producer keeps the aug_rng draw order (and thus the batch
-        # sequence) identical to the synchronous path
-        while True:
-            images, masks = next(dataset)
-            if config.augment:
-                images, masks = augment_batch(
-                    images, masks, aug_rng, strength=config.aug_strength
-                )
-            yield images, masks
+            # device batches: no host augment, no producer thread, no
+            # upload — the generator's programs run on the same device
+            # queue as the step and overlap via async dispatch
+            batches = device_dataset(
+                config.input_hw, config.batch_size, config.seed + start,
+                render_hws=config.render_hws, augment=config.augment,
+                aug_strength=config.aug_strength,
+            )
+        else:
+            dataset = synthetic_dataset(
+                config.input_hw, config.batch_size, config.seed + start,
+                appearance=config.appearance, upright=config.upright,
+                render_hws=config.render_hws,
+            )
+    if not device_gen:
+        aug_rng = np.random.default_rng(config.seed + 7 + start)
 
-    batches = _augmented()
-    if config.prefetch > 0:
-        batches = prefetch_batches(batches, depth=config.prefetch)
+        def _augmented():
+            # augmentation runs in the producer thread too — it is host
+            # numpy work that should overlap the consumer's upload, and
+            # the single producer keeps the aug_rng draw order (and thus
+            # the batch sequence) identical to the synchronous path
+            while True:
+                images, masks = next(dataset)
+                if config.augment:
+                    images, masks = augment_batch(
+                        images, masks, aug_rng, strength=config.aug_strength
+                    )
+                yield images, masks
+
+        batches = _augmented()
+        if config.prefetch > 0:
+            batches = prefetch_batches(batches, depth=config.prefetch)
 
     loss = None
     last_saved = -1
